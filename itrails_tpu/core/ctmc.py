@@ -1,0 +1,170 @@
+"""Jitted executor for the interval-DP :class:`~itrails_tpu.core.schedule.Plan`.
+
+Given model rates, computes the joint probability matrix over pairs of HMM
+hidden states (left locus tree, right locus tree).  The whole computation is
+a fixed sequence (unrolled over the static interval count) of batched masked
+matmuls, one batched ``expm`` per chain, batched Van Loan block exponentials
+(grouped + deduplicated by omega-path), and a block-bidiagonal-inverse chain
+for the final t->inf integrals:
+
+    reference pipeline                         here
+    ------------------------------------       --------------------------------
+    expm per interval (expm.py)                one expm_batch per chain
+    per-path dict fan-out + joblib matmuls     gather -> mask -> (K,S)@(S,S)
+      (run_markov_chain_{AB,ABC}.py)             -> mask -> scatter
+    vanloan() block expm per subpath           expm_batch per (step, length)
+      (vanloan.py:392-425)                       over unique omega paths
+    deepest_ti() inverse of (201*m)^2 block    N = (-Q)^{-1} once + masked
+      (deepest_ti.py:215-256)                    matmul chains (block-
+                                                 bidiagonal inverse identity)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from itrails_tpu.core.expm import expm_batch
+from itrails_tpu.core.schedule import Plan
+from itrails_tpu.core.statespace import combine_partitions_map, state_space
+
+__all__ = ["joint_matrix"]
+
+
+def _rate_matrix(space, coal, rho, dtype):
+    q = coal * jnp.asarray(space.coal_pattern, dtype) + rho * jnp.asarray(
+        space.rho_pattern, dtype
+    )
+    return q - jnp.diag(jnp.sum(q, axis=1))
+
+
+def _run_chain(plan_steps, masks, p, expms, vl_ctx=None):
+    """Run the interval DP: ``p`` is the (n_keys, S) key-probability table."""
+    for s, step in enumerate(plan_steps):
+        e = expms[s]
+        new_p = p
+        # normal transitions: (P[parent] * m_start) @ E * m_end
+        x = p[step.parent]
+        ms = jnp.where(
+            (step.m_start >= 0)[:, None],
+            masks[jnp.maximum(step.m_start, 0)],
+            jnp.ones_like(x),
+        )
+        vals = ((x * ms) @ e) * masks[step.m_end]
+        new_p = new_p.at[step.child].set(vals)
+        if vl_ctx is not None and step.vl_parent.size:
+            # multi-coalescence transitions via union-restricted propagators
+            # (see schedule.StepPlan docstring)
+            q, dt = vl_ctx
+            u = masks[step.vl_unions]  # (U, n)
+            q_u = q[None] * u[:, :, None] * u[:, None, :]
+            e_u = expm_batch(q_u * dt[s])
+            y = p[step.vl_parent] * masks[step.vl_m_start]
+            cv = jnp.einsum("vn,vnm->vm", y, e_u[step.vl_prop]) * masks[step.vl_m_end]
+            new_p = new_p.at[step.vl_child].set(cv)
+        p = new_p
+    return p
+
+
+def joint_matrix(
+    plan: Plan,
+    *,
+    coal_A,
+    coal_B,
+    coal_C,
+    coal_AB,
+    coal_ABC,
+    rho_A,
+    rho_B,
+    rho_C,
+    rho_AB,
+    rho_ABC,
+    t_A,
+    t_B,
+    t_C,
+    cut_AB,
+    cut_ABC,
+    dtype=jnp.float64,
+):
+    """Joint probability matrix over (left, right) hidden gene-tree states.
+
+    ``cut_AB`` has ``n_int_AB + 1`` finite entries; ``cut_ABC`` has
+    ``n_int_ABC + 1`` entries with the last one unused (infinity in the
+    reference).  Returns a dense ``(M, M)`` matrix indexed by
+    ``plan.hidden_states`` order; rows sum to the state's stationary mass
+    (reference get_trans_emiss.py:159-168 consumes it the same way).
+    """
+    sp1 = state_space(1)
+    sp2 = state_space(2)
+    sp3 = state_space(3)
+
+    q_a = _rate_matrix(sp1, coal_A, rho_A, dtype)
+    q_b = _rate_matrix(sp1, coal_B, rho_B, dtype)
+    q_c = _rate_matrix(sp1, coal_C, rho_C, dtype)
+    q_ab = _rate_matrix(sp2, coal_AB, rho_AB, dtype)
+    q_abc = _rate_matrix(sp3, coal_ABC, rho_ABC, dtype)
+
+    cut_AB = jnp.asarray(cut_AB, dtype)
+    cut_ABC = jnp.asarray(cut_ABC, dtype)
+    dt_ab = cut_AB[1:] - cut_AB[:-1]  # (n_int_AB,)
+    dt_abc = cut_ABC[1:] - cut_ABC[:-1]  # last entry unused (infinite interval)
+
+    # single-sequence initial chains: start in the "left and right linked"
+    # state (1,1) (reference get_joint_prob_mat.py:101-123)
+    start_1 = sp1.index[(1, 1)]
+    singles = expm_batch(
+        jnp.stack([q_a * t_A, q_b * t_B, q_c * t_C])
+    )[:, start_1, :]
+    f_a, f_b, f_c = singles[0], singles[1], singles[2]
+
+    combine2 = jnp.asarray(combine_partitions_map(1, 1), dtype)  # (15, 2, 2)
+    combine3 = jnp.asarray(combine_partitions_map(2, 1), dtype)  # (203, 15, 2)
+
+    pi_ab = jnp.einsum("i,j,mij->m", f_a, f_b, combine2)
+
+    ab_masks = jnp.asarray(plan.ab_masks, dtype)
+    abc_masks = jnp.asarray(plan.abc_masks, dtype)
+
+    # ---- AB epoch ----
+    e_ab = expm_batch(q_ab[None] * dt_ab[:, None, None])
+    p_ab = jnp.zeros((plan.ab_n_keys, sp2.n_states), dtype)
+    p_ab = p_ab.at[0].set(pi_ab)
+    p_ab = _run_chain(plan.ab_steps, ab_masks, p_ab, e_ab)
+
+    # ---- combine with C, start ABC epoch ----
+    pi_abc = jnp.einsum("ki,j,mij->km", p_ab, f_c, combine3)
+    p_abc = jnp.zeros((plan.abc_n_keys, sp3.n_states), dtype)
+    p_abc = p_abc.at[plan.abc_init_from_ab].set(pi_abc)
+
+    n_steps = plan.n_int_ABC - 1
+    if n_steps:
+        e_abc = expm_batch(q_abc[None] * dt_abc[:n_steps, None, None])
+        p_abc = _run_chain(
+            plan.abc_steps, abc_masks, p_abc, e_abc, vl_ctx=(q_abc, dt_abc)
+        )
+
+    # ---- final (infinite) interval ----
+    entries = jnp.zeros((plan.n_entries,), dtype)
+    entries = entries.at[plan.direct_out].add(jnp.sum(p_abc[plan.direct_src], axis=1))
+
+    keep = np.where(plan.keep_mask)[0]
+    q_no = q_abc[jnp.ix_(keep, keep)]
+    n_no = keep.size
+    n_mat = jnp.linalg.solve(q_no, -jnp.eye(n_no, dtype=dtype))
+    no_masks = jnp.asarray(plan.noabs_masks, dtype)
+    p_no = p_abc[:, keep]
+
+    for group in plan.deep_groups:
+        x = p_no[group.src] @ n_mat
+        for i in range(1, group.m):
+            mf = no_masks[group.path[:, i - 1]]
+            mt = no_masks[group.path[:, i]]
+            x = ((x * mf) @ q_no) * mt
+            if i < group.m - 1:
+                x = x @ n_mat
+        entries = entries.at[group.out].add(jnp.sum(x, axis=1))
+
+    m = len(plan.hidden_states)
+    joint = jnp.zeros((m, m), dtype)
+    joint = joint.at[plan.entry_row, plan.entry_col].add(entries)
+    return joint

@@ -1,0 +1,254 @@
+"""Generate golden parity fixtures by executing the reference implementation
+(/root/reference, pure Python via the numba shim in tools/refshim).
+
+Outputs .npz files under tests/goldens/ that the test suite pins against.
+Run once:  python tools/make_goldens.py [--quick]
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+GOLDENS = os.path.join(REPO, "tests", "goldens")
+
+# numba shim first, then the reference package.
+sys.path.insert(0, os.path.join(HERE, "refshim"))
+sys.path.insert(0, "/root/reference/src")
+
+import itrails.ncpu as ncpu  # noqa: E402
+
+ncpu.update_n_cpu(1)
+
+from itrails.cutpoints import cutpoints_AB, cutpoints_ABC  # noqa: E402
+from itrails.expm import expm as ref_expm  # noqa: E402
+from itrails.get_joint_prob_mat import get_joint_prob_mat  # noqa: E402
+from itrails.get_trans_emiss import trans_emiss_calc  # noqa: E402
+from itrails.trans_mat import get_trans_mat, wrapper_state_general  # noqa: E402
+
+# Default-ish parameter set (coalescent units, mu-scaled as in the workflows):
+# mirrors examples/example_config.yaml converted with mu=1e-8 (reference:
+# workflow_optimize.py:387-398): t_1=240000*mu etc.
+PARAMS = dict(
+    t_A=0.0024,
+    t_B=0.0024,
+    t_C=0.0028,  # t_1 + t_2
+    t_2=0.0004,
+    t_upper=0.00745069,
+    t_out=0.009312,
+    N_AB=0.0005,
+    N_ABC=0.0005,
+    r=1.0,  # r/mu = 1e-8/1e-8
+)
+
+# A second, deliberately asymmetric parameter point for stress parity.
+PARAMS2 = dict(
+    t_A=0.002,
+    t_B=0.0031,
+    t_C=0.0041,
+    t_2=0.0007,
+    t_upper=0.005,
+    t_out=0.01,
+    N_AB=0.0002,
+    N_ABC=0.0006,
+    r=0.4,
+)
+
+
+def golden_statespace():
+    out = {}
+    for species in (1, 2, 3):
+        transitions, omega_dict, state_dict, omega_counts = wrapper_state_general(
+            species
+        )
+        q_coal = get_trans_mat(transitions, species, 1.0, 0.0)
+        q_rho = get_trans_mat(transitions, species, 0.0, 1.0)
+        states = np.array(
+            sorted(state_dict.keys(), key=lambda t: state_dict[t]), dtype=np.int64
+        )
+        out[f"states_{species}"] = states
+        out[f"q_coal_{species}"] = q_coal
+        out[f"q_rho_{species}"] = q_rho
+        # omega masks keyed by state tuple for order-independent comparison
+        omega_of_state = np.zeros((len(states), 2), dtype=np.int64)
+        for (lo, ro), mask in omega_dict.items():
+            for idx in np.where(mask)[0]:
+                omega_of_state[idx] = (lo, ro)
+        out[f"omega_of_state_{species}"] = omega_of_state
+    np.savez(os.path.join(GOLDENS, "statespace.npz"), **out)
+    print("statespace.npz written")
+
+
+def golden_cutpoints():
+    out = {}
+    for n_ab in (1, 2, 3, 5):
+        out[f"cut_AB_{n_ab}"] = cutpoints_AB(n_ab, 0.8, 1.3)
+    for n_abc in (1, 2, 3, 5):
+        out[f"cut_ABC_{n_abc}"] = cutpoints_ABC(n_abc, 0.7)
+    np.savez(os.path.join(GOLDENS, "cutpoints.npz"), **out)
+    print("cutpoints.npz written")
+
+
+def golden_expm():
+    rng = np.random.default_rng(0)
+    mats, exps = [], []
+    for scale in (0.01, 0.1, 1.0, 10.0, 40.0):
+        a = rng.standard_normal((24, 24)) * scale
+        a = a - np.diag(a.sum(axis=1))  # rate-matrix-like
+        mats.append(a)
+        exps.append(ref_expm(a.copy()))
+    np.savez(
+        os.path.join(GOLDENS, "expm.npz"),
+        mats=np.array(mats),
+        exps=np.array(exps),
+    )
+    print("expm.npz written")
+
+
+def _joint_prob(params, n_int_AB, n_int_ABC):
+    """Run the reference transition-probability pipeline, return dict
+    key(str)->prob plus the cutpoints used."""
+    n_ref = params["N_ABC"]
+    coal_abc = 1.0  # after normalisation N_ref/N_ABC
+    coal_ab = n_ref / params["N_AB"]
+    cut_ab = cutpoints_AB(n_int_AB, params["t_2"] / n_ref, coal_ab)
+    cut_abc = cutpoints_ABC(n_int_ABC, coal_abc)
+    rho = n_ref * params["r"]
+    tr = get_joint_prob_mat(
+        params["t_A"] / n_ref,
+        params["t_B"] / n_ref,
+        params["t_2"] / n_ref,
+        params["t_C"] / n_ref,
+        rho,
+        rho,
+        rho,
+        rho,
+        rho,
+        coal_ab,
+        coal_ab,
+        coal_ab,
+        coal_ab,
+        coal_abc,
+        n_int_AB,
+        n_int_ABC,
+        cut_ab,
+        cut_abc,
+    )
+    return tr, cut_ab, cut_abc
+
+
+def golden_joint(params, n_int_AB, n_int_ABC, tag):
+    t0 = time.time()
+    tr, cut_ab, cut_abc = _joint_prob(params, n_int_AB, n_int_ABC)
+    keys = sorted(tr.keys())
+    vals = np.array([float(tr[k]) for k in keys])
+    keys_arr = np.array([list(k[0]) + list(k[1]) for k in keys], dtype=np.int64)
+    np.savez(
+        os.path.join(GOLDENS, f"joint_{tag}.npz"),
+        keys=keys_arr,
+        vals=vals,
+        cut_ab=cut_ab,
+        cut_abc=cut_abc,
+        total=vals.sum(),
+    )
+    print(f"joint_{tag}.npz written ({len(keys)} keys, {time.time()-t0:.1f}s, "
+          f"total={vals.sum():.12f})")
+
+
+def golden_model(params, n_int_AB, n_int_ABC, tag):
+    t0 = time.time()
+    a, b, pi, hidden, observed = trans_emiss_calc(
+        params["t_A"],
+        params["t_B"],
+        params["t_C"],
+        params["t_2"],
+        params["t_upper"],
+        params["t_out"],
+        params["N_AB"],
+        params["N_ABC"],
+        params["r"],
+        n_int_AB,
+        n_int_ABC,
+        "standard",
+        "standard",
+    )
+    hidden_arr = np.array([list(hidden[i]) for i in range(len(hidden))], dtype=np.int64)
+    observed_arr = np.array([observed[i] for i in range(len(observed))])
+    np.savez(
+        os.path.join(GOLDENS, f"model_{tag}.npz"),
+        a=a,
+        b=b,
+        pi=pi,
+        hidden=hidden_arr,
+        observed=observed_arr,
+    )
+    print(f"model_{tag}.npz written (M={len(pi)}, {time.time()-t0:.1f}s)")
+    return a, b, pi
+
+
+def golden_hmm(a, b, pi, tag, seed=7):
+    """Forward loglik / posterior / viterbi on synthetic token sequences."""
+    from itrails.optimizer import (  # noqa: E402
+        backtrack_viterbi,
+        forward_loglik,
+        post_prob,
+        viterbi,
+    )
+    from itrails.read_data import get_idx_state  # noqa: E402
+
+    order = [get_idx_state(i) for i in range(625)]
+    rng = np.random.default_rng(seed)
+    out = {}
+    seqs = []
+    # unambiguous-only and with-N sequences
+    v1 = rng.integers(0, 256, size=400).astype(np.int64)
+    v2 = rng.integers(0, 625, size=300).astype(np.int64)
+    seqs = [("v1", v1), ("v2", v2)]
+    for name, v in seqs:
+        out[f"{name}_tokens"] = v
+        out[f"{name}_loglik"] = forward_loglik(a, b, pi, v, order)
+        out[f"{name}_post"] = post_prob(a, b, pi, v, order)
+        om, prev = viterbi(a, b, pi, v, order)
+        out[f"{name}_viterbi"] = backtrack_viterbi(om, prev).astype(np.int64)
+    np.savez(os.path.join(GOLDENS, f"hmm_{tag}.npz"), **out)
+    print(f"hmm_{tag}.npz written")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small fixtures only")
+    ap.add_argument("--only", type=str, default=None)
+    args = ap.parse_args()
+    os.makedirs(GOLDENS, exist_ok=True)
+
+    def want(name):
+        return args.only is None or args.only == name
+
+    if want("statespace"):
+        golden_statespace()
+    if want("cutpoints"):
+        golden_cutpoints()
+    if want("expm"):
+        golden_expm()
+    if want("joint"):
+        golden_joint(PARAMS, 1, 2, "1x2")
+        golden_joint(PARAMS, 2, 2, "2x2")
+        golden_joint(PARAMS2, 2, 3, "2x3_p2")
+        if not args.quick:
+            golden_joint(PARAMS, 3, 3, "3x3")
+    if want("model"):
+        a, b, pi = golden_model(PARAMS, 1, 2, "1x2")
+        golden_hmm(a, b, pi, "1x2")
+        if not args.quick:
+            a, b, pi = golden_model(PARAMS, 3, 3, "3x3")
+            golden_hmm(a, b, pi, "3x3")
+            golden_model(PARAMS2, 2, 3, "2x3_p2")
+
+
+if __name__ == "__main__":
+    main()
