@@ -1,0 +1,379 @@
+"""Emission probabilities for all hidden gene-tree states, as batched tensor
+contractions (reference: get_emission_prob_mat.py).
+
+Structure: for each hidden state the emission over observed 4-mers
+``(a0, b0, c0, d0)`` is a Felsenstein-style contraction of
+
+* JC69 branch propagators ``P(theta)`` with ``theta = sum_i mu_i t_i``
+  (the JC69 propagator has the closed form ``1/4 + (I - 1/4) exp(-theta)``,
+  exactly equal to the reference's numeric ``expm`` of the summed rate
+  matrix, p_b_given_a at get_emission_prob_mat.py:22-44);
+* a single-coalescence tensor ``F[a,b,c] = sum_d f(...)`` — the closed-form
+  integral of the JC69 likelihood against a truncated-exponential
+  coalescence density (JC69_analytical_integral, :47-92);
+* a double-coalescence tensor ``D[a,b,c,d]`` for two coalescences in one
+  interval (JC69_analytical_integral_double, :120-397).
+
+The reference evaluates the contraction with 4^4 x 4^6 nested Python loops
+per state (:586-606); here each state is one einsum and all states of a
+geometry class are vmapped.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import vmap
+
+__all__ = [
+    "jc69_propagator",
+    "coal_tensor_single",
+    "coal_tensor_double",
+    "emission_matrix",
+]
+
+# EQ[i, j] = 3/4 if i == j else -1/4  (the alpha/beta/... coefficients)
+_EQ = np.full((4, 4), -0.25) + np.eye(4)
+
+
+def jc69_propagator(theta):
+    """JC69 transition matrix after total scaled branch length ``theta``
+    (= sum of mu_i * t_i).  Closed form of expm(theta * (J/4 - I))."""
+    theta = jnp.asarray(theta)
+    e = jnp.exp(-theta)[..., None, None]
+    eq = jnp.asarray(_EQ, e.dtype)
+    return 0.25 + eq * e
+
+
+def _single_integrand(alpha, beta, gamma, t, mu, k):
+    """Reference JC69_analytical_integral (get_emission_prob_mat.py:47-92)."""
+    ekt = jnp.exp(k * t)
+    emt = jnp.exp(mu * t)
+    res = (
+        k
+        * (
+            ((-1.0 + ekt) * (emt + 16.0 * (alpha + beta) * gamma)) / (ekt * emt * k)
+            + 4.0
+            * (
+                gamma / (ekt * (mu - k))
+                + (alpha + beta) / (k + mu)
+                - (alpha + beta) / (ekt * emt * (k + mu))
+                + (4.0 * alpha * beta) / (k + 2.0 * mu)
+                + (gamma * (1.0 / (k - mu) + (16.0 * alpha * beta) / (k + mu))) / emt
+                + (
+                    4.0
+                    * alpha
+                    * beta
+                    * ((-4.0 * gamma) / (k + mu) - 1.0 / (k + 2.0 * mu))
+                )
+                / (ekt * emt * emt)
+            )
+        )
+    ) / (64.0 * (1.0 - 1.0 / ekt))
+    return res
+
+
+def coal_tensor_single(t, mu, k, dtype=jnp.float64):
+    """F[a, b, c] = P(b, c | a) for one coalescence within time ``t`` at
+    coalescent rate ``k`` (truncated-exponential), summed over the internal
+    nucleotide (reference p_b_c_given_a_JC69_analytical, :95-117)."""
+    eq = jnp.asarray(_EQ, dtype)
+    alpha = eq[:, None, None, :]  # (a, 1, 1, d)
+    beta = eq.T[None, :, None, :]  # beta(d,b) -> (1, b, 1, d)
+    gamma = eq.T[None, None, :, :]  # gamma(d,c) -> (1, 1, c, d)
+    vals = _single_integrand(alpha, beta, gamma, t, mu, k)
+    return jnp.sum(vals, axis=-1)
+
+
+def _double_integrand(alpha, beta, gamma, delta, epsilon, t, mu):
+    """Reference JC69_analytical_integral_double
+    (get_emission_prob_mat.py:120-397); two coalescences of three lineages
+    within ``t`` (pair rate 3, then 1 — baked into the constants)."""
+    em = jnp.exp(mu * t)
+    e2t = jnp.exp(2.0 * t)
+    p1 = (-1.0 + 2.0 * beta * (mu - 2.0)) * (2.0 + mu) + 2.0 * alpha * (mu - 2.0) * (
+        2.0 + 8.0 * beta + mu
+    )
+    p2 = (1.0 + mu) * (2.0 + 8.0 * beta + mu) + 8.0 * alpha * (
+        1.0 + mu + 2.0 * beta * (2.0 + mu)
+    )
+    p3 = 2.0 + mu + 8.0 * gamma * (1.0 + mu)
+    mu2 = mu * mu
+
+    a1 = (-2.0 * delta * (-2.0 - 8.0 * gamma + mu)) / (-6.0 + mu + mu2)
+    a2 = -(32.0 * alpha * beta * delta * p3) / (3.0 * (1.0 + mu) ** 2 * (2.0 + mu))
+    a3 = -(32.0 * alpha * beta * epsilon * p3) / (em * (1.0 + mu) * (2.0 + mu) * (3.0 + mu))
+    a4 = -(8.0 * alpha * beta * (1.0 + 16.0 * delta * epsilon / em) * p3) / (
+        (1.0 + mu) * (2.0 + mu) * (3.0 + 2.0 * mu)
+    )
+    a5 = (16.0 * delta * gamma * p1) / ((mu - 2.0) * (2.0 + mu) * (1.0 + 2.0 * mu))
+    a6 = -(
+        4.0
+        * (alpha + beta)
+        * (1.0 + 2.0 * gamma * (2.0 + mu))
+        * (
+            (3.0 + 2.0 * mu) * (3.0 * em + 4.0 * epsilon * (3.0 + mu))
+            + 12.0 * delta * (em * (3.0 + mu) + 4.0 * epsilon * (3.0 + 2.0 * mu))
+        )
+    ) / (3.0 * em * (2.0 + mu) * (3.0 + mu) * (3.0 + 2.0 * mu))
+    a7 = -(
+        2.0
+        * epsilon
+        * (
+            (2.0 + 8.0 * gamma - mu) / ((mu - 3.0) * (mu - 2.0))
+            + p2 / ((mu - 1.0) * (1.0 + mu) * (2.0 + mu))
+        )
+    ) / em
+    poly = 2.0 + 3.0 * mu + mu2
+    a8 = -(
+        -16.0 * delta * epsilon * (2.0 + 8.0 * gamma - mu) * poly
+        + em * (-2.0 - 8.0 * gamma + mu) * poly
+        - 3.0 * em * (mu - 2.0) * p2
+        - 48.0 * epsilon * (2.0 * gamma * (1.0 + mu) * p1 + delta * (mu - 2.0) * p2)
+    ) / (6.0 * em * (mu - 2.0) * (1.0 + mu) * (2.0 + mu))
+    a9 = (
+        2.0
+        * (
+            2.0 * em * gamma * (1.0 + mu) * p1
+            + delta * (32.0 * epsilon * gamma * (1.0 + mu) * p1 + em * (mu - 2.0) * p2)
+        )
+    ) / (em * (1.0 + mu) ** 2 * (mu2 - 4.0))
+
+    b1 = (32.0 * alpha * beta * delta * p3) / (3.0 * (1.0 + mu) ** 2 * (2.0 + mu))
+    b2 = (32.0 * alpha * beta * em * epsilon * p3) / (
+        (1.0 + mu) * (2.0 + mu) * (3.0 + mu)
+    )
+    b3 = (8.0 * alpha * beta * em * (1.0 + 16.0 * delta * epsilon / em) * p3) / (
+        (1.0 + mu) * (2.0 + mu) * (3.0 + 2.0 * mu)
+    )
+    b4 = (
+        4.0
+        * (alpha + beta)
+        * (1.0 + 2.0 * gamma * (2.0 + mu))
+        * (
+            (3.0 + 2.0 * mu) * (3.0 * em * em + 4.0 * em * em * epsilon * (3.0 + mu))
+            + 12.0 * delta * (em * (3.0 + mu) + 4.0 * em * epsilon * (3.0 + 2.0 * mu))
+        )
+    ) / (3.0 * (2.0 + mu) * (3.0 + mu) * (3.0 + 2.0 * mu))
+
+    c1 = (2.0 * delta * (-2.0 - 8.0 * gamma + mu)) / (e2t * (-6.0 + mu + mu2))
+    c2 = -(16.0 * delta * gamma * p1) / (em * (mu - 2.0) * (2.0 + mu) * (1.0 + 2.0 * mu))
+    c3 = (
+        2.0
+        * em
+        * epsilon
+        * (
+            (2.0 + 8.0 * gamma - mu) / (e2t * (mu - 3.0) * (mu - 2.0))
+            + p2 / ((mu - 1.0) * (1.0 + mu) * (2.0 + mu))
+        )
+    )
+    c4 = (
+        -16.0 * delta * epsilon * (2.0 + 8.0 * gamma - mu) * poly
+        + em * (-2.0 - 8.0 * gamma + mu) * poly
+        - 3.0 * e2t * em * (mu - 2.0) * p2
+        - 48.0
+        * e2t
+        * epsilon
+        * (2.0 * gamma * (1.0 + mu) * p1 + delta * (mu - 2.0) * p2)
+    ) / (6.0 * e2t * (mu - 2.0) * (1.0 + mu) * (2.0 + mu))
+    c5 = -(
+        2.0
+        * (
+            2.0 * em * gamma * (1.0 + mu) * p1
+            + delta * (32.0 * epsilon * gamma * (1.0 + mu) * p1 + em * (mu - 2.0) * p2)
+        )
+    ) / (em * (1.0 + mu) ** 2 * (mu2 - 4.0))
+
+    inner = c1 + c2 + c3 + c4 + c5
+    a10 = (b1 + b2 + b3 + b4 + jnp.exp(2.0 * (1.0 + mu) * t) * inner) / jnp.exp(
+        3.0 * (1.0 + mu) * t
+    )
+
+    total = a1 + a2 + a3 + a4 + a5 + a6 + a7 + a8 + a9 + a10
+    norm = 1024.0 * (1.0 + 0.5 / jnp.exp(3.0 * t) - 1.5 / jnp.exp(t))
+    return 3.0 * total / norm
+
+
+def coal_tensor_double(t, mu, dtype=jnp.float64):
+    """D[a, b, c, d] = P(b, c, d | a) for two coalescences of lineages
+    (a,b,c) within ``t``, summed over both internal nucleotides (reference
+    p_b_c_d_given_a_JC69_analytical, :400-424)."""
+    eq = jnp.asarray(_EQ, dtype)
+    # axes: (a, b, c, d, e, f)
+    alpha = eq[:, None, None, None, :, None]  # alpha(a, e)
+    beta = eq.T[None, :, None, None, :, None]  # beta(e, b)
+    gamma = eq[None, None, None, None, :, :]  # gamma(e, f)
+    delta = eq.T[None, None, :, None, None, :]  # delta(f, c)
+    epsilon = eq.T[None, None, None, :, None, :]  # epsilon(f, d)
+    vals = _double_integrand(alpha, beta, gamma, delta, epsilon, t, mu)
+    return jnp.sum(vals, axis=(-2, -1))
+
+
+def _emission_single(theta_a, theta_b, theta_c, theta_ab, theta_d,
+                     t1, mu1, k1, t2, mu2, k2):
+    """Emission 4-tensor for a hidden state with two coalescence events in
+    different intervals (reference calc_emissions_single_JC69:484-608).
+
+    Branch layout: species branches a/b join at the first event; their
+    ancestor travels theta_ab, joins c at the second event; the root emits
+    the outgroup d over theta_d.  The leading 1/4 is the uniform root prior.
+    """
+    pa = jc69_propagator(theta_a)  # P[a0, a1]
+    pb = jc69_propagator(theta_b)  # P[b1, b0] (symmetric)
+    pc = jc69_propagator(theta_c)
+    pab = jc69_propagator(theta_ab)
+    pd = jc69_propagator(theta_d)  # P[abc0, d0]
+    f1 = coal_tensor_single(t1, mu1, k1)  # F[a1, b1, ab0]
+    f2 = coal_tensor_single(t2, mu2, k2)  # F[ab1, c1, abc0]
+    return 0.25 * jnp.einsum(
+        "ax,yb,xyu,uv,vzw,zc,wd->abcd", pa, pb, f1, pab, f2, pc, pd
+    )
+
+
+def _emission_double(theta_a, theta_b, theta_c, theta_d, t, mu):
+    """Emission 4-tensor for a hidden state whose two coalescence events fall
+    in the same interval (reference calc_emissions_double_JC69:611-698)."""
+    pa = jc69_propagator(theta_a)
+    pb = jc69_propagator(theta_b)
+    pc = jc69_propagator(theta_c)
+    pd = jc69_propagator(theta_d)
+    dd = coal_tensor_double(t, mu)  # D[a1, b1, c1, abc0]
+    return 0.25 * jnp.einsum("ax,yb,zc,xyzw,wd->abcd", pa, pb, pc, dd, pd)
+
+
+def emission_matrix(
+    *,
+    n_int_AB,
+    n_int_ABC,
+    t_A,
+    t_B,
+    t_C,
+    t_AB,
+    t_upper,
+    t_out,
+    coal_AB,
+    coal_ABC,
+    mu_A,
+    mu_B,
+    mu_C,
+    mu_D,
+    mu_AB,
+    mu_ABC,
+    cut_AB,
+    cut_ABC,
+    dtype=jnp.float64,
+):
+    """Emission probability matrix ``b`` of shape (M, 256), rows ordered by
+    the sorted hidden-state list (schedule.hidden_state_list), columns by the
+    unambiguous 4-mer token order (a*64 + b*16 + c*4 + d over A,C,T,G).
+
+    Mirrors the state-geometry driver of the reference
+    (get_emission_prob_mat.py:701-1038): V1/V2/V3 deep-coalescence states
+    with i<j (two single events), i==j (one double event), and V0 states
+    (first event in the AB epoch).  V2/V3 reuse the V1 geometry with species
+    permuted onto branches, then permute the emission axes back
+    (:871-875, :897-899).
+    """
+    cut_AB = jnp.asarray(cut_AB, dtype)
+    cut_ABC = jnp.asarray(cut_ABC, dtype)
+    last = n_int_ABC - 1
+
+    # -- geometry parameters per (i, j) with i < j (deep, two single events)
+    pairs = np.array(
+        [(i, j) for i in range(n_int_ABC) for j in range(i + 1, n_int_ABC)],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+
+    def deep_pair_params(i, j):
+        is_last = j == last
+        th_a = t_A * mu_A + t_AB * mu_AB + cut_ABC[i] * mu_ABC
+        th_b = t_B * mu_B + t_AB * mu_AB + cut_ABC[i] * mu_ABC
+        th_c = t_C * mu_C + cut_ABC[i] * mu_ABC
+        th_ab = (cut_ABC[j] - cut_ABC[i + 1]) * mu_ABC
+        t1 = cut_ABC[i + 1] - cut_ABC[i]
+        t2 = jnp.where(is_last, t_upper, cut_ABC[jnp.minimum(j + 1, last)] - cut_ABC[j])
+        add = jnp.where(
+            is_last, 0.0, t_upper + cut_ABC[last] - cut_ABC[jnp.minimum(j + 1, last)]
+        )
+        th_d = t_out * mu_D + add * mu_ABC
+        return th_a, th_b, th_c, th_ab, th_d, t1, t2
+
+    # -- geometry per i (deep, double event in one interval)
+    def deep_double_params(i):
+        is_last = i == last
+        th_a = t_A * mu_A + t_AB * mu_AB + cut_ABC[i] * mu_ABC
+        th_b = t_B * mu_B + t_AB * mu_AB + cut_ABC[i] * mu_ABC
+        th_c = t_C * mu_C + cut_ABC[i] * mu_ABC
+        td = jnp.where(is_last, t_upper, cut_ABC[jnp.minimum(i + 1, last)] - cut_ABC[i])
+        add = jnp.where(
+            is_last, 0.0, t_upper + cut_ABC[last] - cut_ABC[jnp.minimum(i + 1, last)]
+        )
+        th_d = t_out * mu_D + add * mu_ABC
+        return th_a, th_b, th_c, th_d, td
+
+    # -- geometry per (i, j) for V0 (first event in the AB epoch)
+    v0_pairs = np.array(
+        [(i, j) for i in range(n_int_AB) for j in range(n_int_ABC)], dtype=np.int64
+    ).reshape(-1, 2)
+
+    def v0_params(i, j):
+        is_last = j == last
+        th_a = t_A * mu_A + cut_AB[i] * mu_AB
+        th_b = t_B * mu_B + cut_AB[i] * mu_AB
+        th_c = t_C * mu_C + cut_ABC[j] * mu_ABC
+        th_ab = (t_AB - cut_AB[i + 1]) * mu_AB + cut_ABC[j] * mu_ABC
+        t1 = cut_AB[i + 1] - cut_AB[i]
+        t2 = jnp.where(is_last, t_upper, cut_ABC[jnp.minimum(j + 1, last)] - cut_ABC[j])
+        add = jnp.where(
+            is_last, 0.0, t_upper + cut_ABC[last] - cut_ABC[jnp.minimum(j + 1, last)]
+        )
+        th_d = t_out * mu_D + add * mu_ABC
+        return th_a, th_b, th_c, th_ab, th_d, t1, t2
+
+    out = {}
+
+    if len(pairs):
+        th_a, th_b, th_c, th_ab, th_d, t1, t2 = vmap(deep_pair_params)(
+            pairs[:, 0], pairs[:, 1]
+        )
+        # V1: branches (A, B | C); V2: (A, C | B); V3: (B, C | A)
+        em1 = vmap(
+            lambda a, b, c, ab, d, x1, x2: _emission_single(
+                a, b, c, ab, d, x1, mu_ABC, coal_ABC, x2, mu_ABC, coal_ABC
+            )
+        )
+        v1 = em1(th_a, th_b, th_c, th_ab, th_d, t1, t2)
+        v2 = em1(th_a, th_c, th_b, th_ab, th_d, t1, t2).transpose(0, 1, 3, 2, 4)
+        v3 = em1(th_b, th_c, th_a, th_ab, th_d, t1, t2).transpose(0, 3, 1, 2, 4)
+        for n, (i, j) in enumerate(pairs):
+            out[(1, int(i), int(j))] = v1[n]
+            out[(2, int(i), int(j))] = v2[n]
+            out[(3, int(i), int(j))] = v3[n]
+
+    idx = np.arange(n_int_ABC, dtype=np.int64)
+    th_a, th_b, th_c, th_d, td = vmap(deep_double_params)(idx)
+    em2 = vmap(lambda a, b, c, d, t: _emission_double(a, b, c, d, t, mu_ABC))
+    d1 = em2(th_a, th_b, th_c, th_d, td)
+    d2 = em2(th_a, th_c, th_b, th_d, td).transpose(0, 1, 3, 2, 4)
+    d3 = em2(th_b, th_c, th_a, th_d, td).transpose(0, 3, 1, 2, 4)
+    for n in range(n_int_ABC):
+        out[(1, n, n)] = d1[n]
+        out[(2, n, n)] = d2[n]
+        out[(3, n, n)] = d3[n]
+
+    th_a, th_b, th_c, th_ab, th_d, t1, t2 = vmap(v0_params)(
+        v0_pairs[:, 0], v0_pairs[:, 1]
+    )
+    v0 = vmap(
+        lambda a, b, c, ab, d, x1, x2: _emission_single(
+            a, b, c, ab, d, x1, mu_AB, coal_AB, x2, mu_ABC, coal_ABC
+        )
+    )(th_a, th_b, th_c, th_ab, th_d, t1, t2)
+    for n, (i, j) in enumerate(v0_pairs):
+        out[(0, int(i), int(j))] = v0[n]
+
+    from itrails_tpu.core.schedule import hidden_state_list
+
+    hidden = hidden_state_list(n_int_AB, n_int_ABC)
+    b = jnp.stack([out[h] for h in hidden])
+    return b.reshape(len(hidden), 256)

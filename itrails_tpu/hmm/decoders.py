@@ -1,0 +1,158 @@
+"""Scan-based HMM decoders: forward, backward, posterior, Viterbi.
+
+The reference implements these as numba loops over one sequence at a time
+(optimizer.py:145-354) and parallelises across alignment blocks with joblib
+process pools.  Here each decoder is a ``lax.scan`` whose per-step state is a
+(batch, M) matrix, so a whole batch of windows advances with one (W, M) @
+(M, M) matmul per alignment column on the MXU; batching over windows is the
+data-parallel axis that shards across chips (see hmm.sharding).
+
+Numerics mirror the reference exactly: log-space alpha/beta with a per-step
+max shift (optimizer.py:165-188, 191-213), posterior = row-softmax(alpha +
+beta) (:216-238), Viterbi = max-plus recursion with backpointer matrix and
+reverse backtrack (:305-354).
+
+Padding: windows are right-padded with ``PAD_TOKEN``; padded steps carry
+state through unchanged so every quantity equals the unpadded computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from itrails_tpu.data.tokens import PAD_TOKEN
+
+__all__ = [
+    "emission_table",
+    "forward",
+    "forward_loglik",
+    "backward",
+    "posterior",
+    "viterbi",
+]
+
+
+def emission_table(b, agg):
+    """(M, 625) emission table over the full (ambiguity-resolved) alphabet:
+    ``b @ agg.T`` where agg is data.tokens.aggregation_matrix()."""
+    return b @ jnp.asarray(agg, b.dtype).T
+
+
+def _gather_emis(bfull, tokens):
+    """Per-step emission rows for a (W,) token vector -> (W, M); padded
+    positions get all-ones (no-op)."""
+    safe = jnp.maximum(tokens, 0)
+    e = bfull.T[safe]  # (W, M)
+    return jnp.where((tokens == PAD_TOKEN)[:, None], jnp.ones_like(e), e)
+
+
+def forward(a, bfull, pi, tokens):
+    """Log-space forward pass over a (W, T) token batch.
+
+    Returns ``(alpha_T, logliks)``: the final (W, M) log state vector and the
+    per-window log-likelihoods (W,).
+    """
+    w = tokens.shape[0]
+    alpha0 = jnp.log(pi[None, :] * _gather_emis(bfull, tokens[:, 0]))
+
+    def step(alpha, tok):
+        x = jnp.max(alpha, axis=1, keepdims=True)
+        e = _gather_emis(bfull, tok)
+        new = jnp.log((jnp.exp(alpha - x) @ a) * e) + x
+        new = jnp.where((tok == PAD_TOKEN)[:, None], alpha, new)
+        return new, None
+
+    alpha, _ = lax.scan(step, alpha0, tokens[:, 1:].T)
+    x = jnp.max(alpha, axis=1)
+    loglik = jnp.log(jnp.sum(jnp.exp(alpha - x[:, None]), axis=1)) + x
+    return alpha, loglik
+
+
+def forward_loglik(a, bfull, pi, tokens):
+    """Total log-likelihood of a (W, T) token batch (sum over windows)."""
+    _, ll = forward(a, bfull, pi, tokens)
+    return jnp.sum(ll)
+
+
+def _forward_all(a, bfull, pi, tokens):
+    """Forward pass keeping every step's alpha: (T, W, M)."""
+    alpha0 = jnp.log(pi[None, :] * _gather_emis(bfull, tokens[:, 0]))
+
+    def step(alpha, tok):
+        x = jnp.max(alpha, axis=1, keepdims=True)
+        e = _gather_emis(bfull, tok)
+        new = jnp.log((jnp.exp(alpha - x) @ a) * e) + x
+        new = jnp.where((tok == PAD_TOKEN)[:, None], alpha, new)
+        return new, new
+
+    _, rest = lax.scan(step, alpha0, tokens[:, 1:].T)
+    return jnp.concatenate([alpha0[None], rest], axis=0)
+
+
+def backward(a, bfull, tokens):
+    """Log-space backward pass; returns (T, W, M) beta values."""
+    t_len = tokens.shape[1]
+    beta_last = jnp.zeros((tokens.shape[0], a.shape[0]), bfull.dtype)
+
+    def step(beta, tok):
+        x = jnp.max(beta, axis=1, keepdims=True)
+        e = _gather_emis(bfull, tok)
+        # NOTE: `@ a` (not `@ a.T`) reproduces the reference recursion
+        # (optimizer.py:210), which contracts over the *source* state.  The
+        # textbook backward would use a.T; we mirror the reference because
+        # its posteriors are the parity target (the joint matrix is
+        # exchange-symmetric, so the difference is a per-state pi reweight).
+        new = jnp.log((jnp.exp(beta - x) * e) @ a) + x
+        new = jnp.where((tok == PAD_TOKEN)[:, None], beta, new)
+        return new, new
+
+    _, rest = lax.scan(step, beta_last, tokens[:, 1:].T[::-1])
+    return jnp.concatenate([rest[::-1], beta_last[None]], axis=0)
+
+
+def posterior(a, bfull, pi, tokens):
+    """Posterior state probabilities, (T, W, M); padded steps are garbage
+    (mask with ``tokens != PAD_TOKEN``)."""
+    alpha = _forward_all(a, bfull, pi, tokens)
+    beta = backward(a, bfull, tokens)
+    post = alpha + beta
+    post -= jnp.max(post, axis=2, keepdims=True)
+    post = jnp.exp(post)
+    return post / jnp.sum(post, axis=2, keepdims=True)
+
+
+def viterbi(a, bfull, pi, tokens):
+    """Most-probable state path per window: (W, T) int32.
+
+    Padded steps repeat the last real state; mask with
+    ``tokens != PAD_TOKEN`` when consuming.
+    """
+    log_a = jnp.log(a)
+    omega0 = jnp.log(pi[None, :] * _gather_emis(bfull, tokens[:, 0]))
+
+    def fwd(omega, tok):
+        e = jnp.log(_gather_emis(bfull, tok))  # (W, M)
+        scores = omega[:, :, None] + log_a[None, :, :] + e[:, None, :]
+        ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)  # (W, M)
+        new = jnp.max(scores, axis=1)
+        pad = (tok == PAD_TOKEN)[:, None]
+        new = jnp.where(pad, omega, new)
+        # padded steps: identity backpointer
+        ident = jnp.broadcast_to(
+            jnp.arange(new.shape[1], dtype=jnp.int32)[None, :], ptr.shape
+        )
+        ptr = jnp.where(pad, ident, ptr)
+        return new, ptr
+
+    omega, ptrs = lax.scan(fwd, omega0, tokens[:, 1:].T)  # ptrs: (T-1, W, M)
+    last = jnp.argmax(omega, axis=1).astype(jnp.int32)  # (W,)
+
+    def back(state, ptr):
+        prev = jnp.take_along_axis(ptr, state[:, None], axis=1)[:, 0]
+        return prev, prev
+
+    _, states_rev = lax.scan(back, last, ptrs[::-1])
+    path = jnp.concatenate([states_rev[::-1], last[None]], axis=0)  # (T, W)
+    return path.T
