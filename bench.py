@@ -1,0 +1,96 @@
+"""Benchmark: alignment columns/second/chip for the forward log-likelihood
+decode of the 3-species coalescent HMM (the per-optimizer-eval hot loop).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline: single-core iTRAILS runs the same recursion as a numba-compiled
+loop (reference optimizer.py:165-188).  Per column that is ~M^2 FMAs plus M
+exp/log transcendentals; at M=27 a 3 GHz core is bounded at ~2.5e6
+columns/s, which we adopt as a deliberately generous single-core baseline
+(the pure-Python reference measured here is ~100x slower than that bound).
+"""
+
+import json
+import time
+
+BASELINE_COLS_PER_SEC = 2.5e6  # generous single-core numba estimate, M=27
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # f64 model build on host
+    import jax.numpy as jnp
+    import numpy as np
+
+    platform = jax.default_backend()
+    dev = jax.devices()[0]
+
+    from itrails_tpu.core.model import build_model
+    from itrails_tpu.data.tokens import aggregation_matrix
+    from itrails_tpu.hmm import decoders
+
+    # flagship config: default 3x3 discretization -> 27 hidden states
+    t0 = time.time()
+    model = build_model(
+        t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
+        t_out=0.009312, N_AB=0.0005, N_ABC=0.0005, r=1.0,
+        n_int_AB=3, n_int_ABC=3, dtype="float64", device="cpu",
+    )
+    build_first_s = time.time() - t0
+    # second build: the jit-cached per-optimizer-eval cost
+    t0 = time.time()
+    model = build_model(
+        t_A=0.00241, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
+        t_out=0.009312, N_AB=0.0005, N_ABC=0.00051, r=1.0,
+        n_int_AB=3, n_int_ABC=3, dtype="float64", device="cpu",
+    )
+    jax.block_until_ready(model.a)
+    build_eval_s = time.time() - t0
+
+    cast = jnp.float32
+    a = jnp.asarray(model.a, cast)
+    pi = jnp.asarray(model.pi, cast)
+    bfull = decoders.emission_table(
+        jnp.asarray(model.b, cast), jnp.asarray(aggregation_matrix(), cast)
+    )
+    a = jax.device_put(a, dev)
+    pi = jax.device_put(pi, dev)
+    bfull = jax.device_put(bfull, dev)
+
+    n_windows, win_len = (4096, 8192) if platform != "cpu" else (32, 2048)
+    rng = np.random.default_rng(0)
+    tokens = jax.device_put(
+        jnp.asarray(rng.integers(0, 625, size=(n_windows, win_len)), jnp.int32), dev
+    )
+    n_cols = n_windows * win_len
+
+    fwd = jax.jit(decoders.forward_loglik)
+    for _ in range(2):  # compile + warm up
+        ll = fwd(a, bfull, pi, tokens)
+        jax.block_until_ready(ll)
+
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        ll = fwd(a, bfull, pi, tokens)
+    jax.block_until_ready(ll)
+    dt = (time.time() - t0) / reps
+    cols_per_sec = n_cols / dt
+
+    print(json.dumps({
+        "metric": "alignment columns/sec/chip (3-species HMM forward, M=27)",
+        "value": round(cols_per_sec, 1),
+        "unit": "columns/s/chip",
+        "vs_baseline": round(cols_per_sec / BASELINE_COLS_PER_SEC, 2),
+        "platform": platform,
+        "batch": [n_windows, win_len],
+        "loglik": float(ll),
+        "model_build_s_first": round(build_first_s, 3),
+        "model_build_s_cached": round(build_eval_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

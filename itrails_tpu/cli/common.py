@@ -1,0 +1,362 @@
+"""Shared CLI plumbing: IO precedence, parameter validation, mu scaling.
+
+Mirrors the reference workflows' behavior (workflow_optimize.py:48-466,
+workflow_viterbi.py:86-610) so configs written for iTRAILS run unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+from itrails_tpu.core.cutpoints import cutpoints_abc
+from itrails_tpu.optim.cases import ALLOWED_CASES, resolve_times
+
+__all__ = [
+    "standard_parser",
+    "resolve_io",
+    "prepare_optimize_setup",
+    "prepare_decode_setup",
+    "TIME_PARAMS",
+]
+
+TIME_PARAMS = ("t_1", "t_A", "t_B", "t_C")
+
+
+def standard_parser(description, usage=None):
+    p = argparse.ArgumentParser(description=description, usage=usage)
+    p.add_argument("config_file", type=str, help="Path to the YAML config file.")
+    p.add_argument("--input", type=str, required=False,
+                   help="Path to the MAF alignment file.")
+    p.add_argument("--output", type=str, required=False,
+                   help="Path and prefix for output files ('directory/prefix').")
+    return p
+
+
+def resolve_io(config, args):
+    """Input/output precedence: command line wins over config
+    (reference workflow_optimize.py:51-96)."""
+    input_config = config["settings"].get("input_maf")
+    output_config = config["settings"].get("output_prefix")
+    maf_path = args.input or input_config
+    user_output = args.output or output_config
+    if args.input and input_config:
+        print(f"Warning: MAF alignment file specified in both config file "
+              f"({input_config}) and command-line ({args.input}). "
+              f"Using command-line input.")
+    if args.output and output_config:
+        print(f"Warning: Output file specified in both config file "
+              f"({output_config}) and command-line ({args.output}). "
+              f"Using command-line output.")
+    if not maf_path:
+        raise ValueError(
+            "Error: MAF alignment file not specified in config file or command-line."
+        )
+    if not user_output:
+        raise ValueError(
+            "Error: Output file not specified in config file or command-line."
+        )
+    output_dir, output_prefix = os.path.split(user_output)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    return maf_path, user_output, output_dir, output_prefix
+
+
+def _classify(name, fixed, optimized):
+    if name in fixed and name in optimized:
+        raise ValueError(f"Parameter '{name}' cannot be both fixed and optimized.")
+    if name in fixed:
+        return "fixed"
+    if name in optimized:
+        return "optimized"
+    return None
+
+
+def prepare_optimize_setup(config):
+    """Parse + validate an optimize config; returns a dict with
+    optim_variables/optim_list/bounds_list (mu-scaled), fixed_dict
+    (mu-scaled), case, and de-scaled dicts for the YAML artifacts."""
+    fixed = config["fixed_parameters"]
+    optimized = config["optimized_parameters"]
+    settings = config["settings"]
+    mu = float(fixed["mu"])
+    n_int_AB = settings["n_int_AB"]
+    n_int_ABC = settings["n_int_ABC"]
+    if not (isinstance(n_int_AB, int) and n_int_AB > 0):
+        raise ValueError("n_int_AB must be a positive integer")
+    if not (isinstance(n_int_ABC, int) and n_int_ABC > 0):
+        raise ValueError("n_int_ABC must be a positive integer")
+    if not isinstance(mu, (int, float)) or mu <= 0:
+        raise ValueError("mu must be a positive float or int.")
+
+    method = settings.get("method", "Nelder-Mead").lower()
+    if method not in ("nelder-mead", "l-bfgs-b"):
+        raise ValueError("Method must be one of ['nelder-mead', 'l-bfgs-b'].")
+
+    fixed_dict = {"n_int_AB": n_int_AB, "n_int_ABC": n_int_ABC}
+    optim_variables, optim_list, bounds_list = [], [], []
+    found = set()
+
+    def take(name):
+        kind = _classify(name, fixed, optimized)
+        if kind == "fixed":
+            found.add(name)
+            fixed_dict[name] = float(fixed[name])
+        elif kind == "optimized":
+            found.add(name)
+            start, lo, hi = (float(x) for x in optimized[name])
+            optim_variables.append(name)
+            optim_list.append(start)
+            bounds_list.append((lo, hi))
+        return kind
+
+    for name in TIME_PARAMS:
+        take(name)
+    case = frozenset(found)
+    if case not in ALLOWED_CASES:
+        raise ValueError(
+            f"Invalid combination of time values: {found}, check possible "
+            f"combinations in the documentation."
+        )
+
+    for name in ("t_2", "N_ABC", "N_AB", "r"):
+        if take(name) is None:
+            raise ValueError(
+                "Parameters 't_2', 'N_ABC', 'N_AB' and 'r' must be present in "
+                "optimized or fixed parameters."
+            )
+
+    # t_upper: direct, or derived from t_3 and N_ABC
+    # (reference workflow_optimize.py:238-360)
+    if "t_upper" in optimized:
+        start, lo, hi = (float(x) for x in optimized["t_upper"])
+        if start < 0 or lo < 0 or hi < 0:
+            raise ValueError("Parameter 't_upper' cannot be negative. "
+                             "Please check your input parameters.")
+        optim_variables.append("t_upper")
+        optim_list.append(start)
+        bounds_list.append((lo, hi))
+    elif "t_upper" in fixed:
+        if float(fixed["t_upper"]) < 0:
+            raise ValueError("Parameter 't_upper' cannot be negative. "
+                             "Please check your input parameters.")
+        fixed_dict["t_upper"] = float(fixed["t_upper"])
+    else:
+        print("Warning: 't_upper' not found in parameter definition. "
+              "Calculating from 't_3' and 'N_ABC'.")
+        deep = float(np.asarray(cutpoints_abc(n_int_ABC, 1.0))[-2])
+
+        def t_upper_from(t3, n_abc):
+            return t3 - deep * n_abc
+
+        if "N_ABC" in optimized:
+            n0, n_lo, n_hi = (float(x) for x in optimized["N_ABC"])
+        elif "N_ABC" in fixed:
+            n0 = n_lo = n_hi = float(fixed["N_ABC"])
+        else:
+            raise ValueError("'N_ABC' not found in parameter definition.")
+        if "t_3" in optimized:
+            t0, t_lo, t_hi = (float(x) for x in optimized["t_3"])
+        elif "t_3" in fixed:
+            if "N_ABC" in fixed:
+                raise ValueError(
+                    "At least one, 't_3' or 'N_ABC' must be present in "
+                    "optimized parameters."
+                )
+            t0 = t_lo = t_hi = float(fixed["t_3"])
+        else:
+            raise ValueError("'t_3' not found in parameter definition.")
+        start = t_upper_from(t0, n0)
+        lo = t_upper_from(t_lo, n_hi)
+        hi = t_upper_from(t_hi, n_lo)
+        if not (lo <= start <= hi):
+            raise ValueError(
+                f"When calculating t_upper from t_3 and N_ABC, the starting "
+                f"value ({start}) was not between the minimum ({lo}) and "
+                f"maximum ({hi})."
+            )
+        if start < 0 or lo < 0 or hi < 0:
+            raise ValueError("Calculated 't_upper' values cannot be negative. "
+                             "Please check your input parameters.")
+        optim_variables.append("t_upper")
+        optim_list.append(start)
+        bounds_list.append((lo, hi))
+
+    if "t_out" in optimized:
+        raise ValueError("Parameter 't_out' has to be fixed.")
+    if "t_out" in fixed:
+        fixed_dict["t_out"] = float(fixed["t_out"])
+
+    # validation + mu scaling (reference workflow_optimize.py:368-405)
+    for i, name in enumerate(optim_variables):
+        start = optim_list[i]
+        lo, hi = bounds_list[i]
+        if not (lo <= start <= hi):
+            raise ValueError(
+                f"Starting value for '{name}' ({start}) must be between the "
+                f"minimum ({lo}) and maximum ({hi})."
+            )
+        if start <= 0:
+            raise ValueError(f"Starting value for '{name}' must be a positive number.")
+        if lo <= 0:
+            raise ValueError(f"Minimum value for '{name}' must be a positive number.")
+        if name == "r":
+            optim_list[i] = start / mu
+            bounds_list[i] = (lo / mu, hi / mu)
+        else:
+            optim_list[i] = start * mu
+            bounds_list[i] = (lo * mu, hi * mu)
+
+    for name, value in list(fixed_dict.items()):
+        if name not in ("n_int_AB", "n_int_ABC"):
+            fixed_dict[name] = value / mu if name == "r" else value * mu
+
+    # de-scaled copies for the YAML artifacts
+    descaled_fixed = {
+        k: (v * mu if k == "r" else v / mu)
+        for k, v in fixed_dict.items()
+        if k not in ("n_int_AB", "n_int_ABC")
+    }
+    descaled_fixed["mu"] = mu
+    descaled_bounds = {
+        name: [
+            (optim_list[i] * mu if name == "r" else optim_list[i] / mu),
+            (bounds_list[i][0] * mu if name == "r" else bounds_list[i][0] / mu),
+            (bounds_list[i][1] * mu if name == "r" else bounds_list[i][1] / mu),
+        ]
+        for i, name in enumerate(optim_variables)
+    }
+
+    return {
+        "case": case,
+        "method": method,
+        "mu": mu,
+        "optim_variables": optim_variables,
+        "optim_list": optim_list,
+        "bounds_list": bounds_list,
+        "fixed_dict": fixed_dict,
+        "descaled_fixed": descaled_fixed,
+        "descaled_bounds": descaled_bounds,
+        "settings": settings,
+    }
+
+
+def prepare_decode_setup(config):
+    """Parse a viterbi/posterior config (parameters are scalars — typically
+    the best_model.yaml of an optimize run) into a fully resolved,
+    mu-scaled parameter dict plus cutpoints (reference
+    workflow_viterbi.py:154-610)."""
+    fixed = config["fixed_parameters"]
+    optimized = config.get("optimized_parameters") or {}
+    settings = config["settings"]
+    mu = float(fixed["mu"])
+    n_int_AB = settings["n_int_AB"]
+    n_int_ABC = settings["n_int_ABC"]
+
+    d = {"n_int_AB": n_int_AB, "n_int_ABC": n_int_ABC}
+    found = set()
+    for name in TIME_PARAMS:
+        kind = _classify(name, fixed, optimized)
+        if kind:
+            found.add(name)
+            d[name] = float(fixed[name] if kind == "fixed" else optimized[name])
+    case = frozenset(found)
+    if case not in ALLOWED_CASES:
+        raise ValueError(f"Invalid combination of time values: {found}")
+
+    for name in ("t_2", "N_ABC", "N_AB", "r"):
+        kind = _classify(name, fixed, optimized)
+        if kind is None:
+            raise ValueError(f"Parameter '{name}' must be provided.")
+        d[name] = float(fixed[name] if kind == "fixed" else optimized[name])
+
+    pre = {k: v for k, v in d.items()}  # un-scaled values for cutpoints
+    pre_t_A = d.get("t_A", d.get("t_1"))
+    if pre_t_A is None:  # case {t_B, t_C}: derive (the reference crashes here)
+        pre_t_A = (d["t_B"] + d["t_C"] - d["t_2"]) / 2
+
+    # manual cutpoints (absolute units, reference workflow_viterbi.py:345-358)
+    cut_ab_abs = settings.get("cutpoints_AB")
+    cut_abc_abs = settings.get("cutpoints_ABC")
+    norm_cut_ab = None
+    norm_cut_abc = None
+    if cut_ab_abs is not None:
+        if len(cut_ab_abs) != n_int_AB + 1:
+            raise ValueError("cutpoints_AB must have n_int_AB + 1 values.")
+        norm_cut_ab = [(float(x) - pre_t_A) / pre["N_ABC"] for x in cut_ab_abs]
+    if cut_abc_abs is not None:
+        if len(cut_abc_abs) != n_int_ABC:
+            raise ValueError("cutpoints_ABC must have n_int_ABC values "
+                             "(the final infinite bound is implicit).")
+        norm_cut_abc = [
+            (float(x) - pre_t_A - pre["t_2"]) / pre["N_ABC"] for x in cut_abc_abs
+        ]
+
+    # t_upper: direct or from t_3 (reference workflow_viterbi.py:360-404)
+    kind = _classify("t_upper", fixed, optimized)
+    if kind:
+        d["t_upper"] = float(fixed["t_upper"] if kind == "fixed" else optimized["t_upper"])
+    else:
+        t3_kind = _classify("t_3", fixed, optimized)
+        if t3_kind is None:
+            raise ValueError("'t_3' not found in parameter definition.")
+        t3 = float(fixed["t_3"] if t3_kind == "fixed" else optimized["t_3"])
+        if norm_cut_abc is not None:
+            deep_unscaled = norm_cut_abc[-1]
+        else:
+            deep_unscaled = float(np.asarray(cutpoints_abc(n_int_ABC, 1.0))[-2])
+        d["t_upper"] = t3 - deep_unscaled * d["N_ABC"]
+    if d["t_upper"] < 0:
+        raise ValueError(
+            "Parameter 't_upper' must be a positive number. "
+            f"Given/calculated value: {d['t_upper']}"
+        )
+
+    if "t_out" in optimized:
+        raise ValueError("Parameter 't_out' has to be fixed.")
+    if "t_out" in fixed:
+        d["t_out"] = float(fixed["t_out"])
+
+    # mu-scale everything
+    for name, value in list(d.items()):
+        if name not in ("n_int_AB", "n_int_ABC"):
+            d[name] = value / mu if name == "r" else value * mu
+
+    deep = None
+    if norm_cut_abc is not None:
+        deep = norm_cut_abc[-1] * d["N_ABC"]
+    d = resolve_times(case, d, deep=deep)
+
+    # absolute cutpoints for reporting (units of the input config)
+    if norm_cut_ab is not None:
+        abs_cut_ab = [float(x) for x in cut_ab_abs]
+    else:
+        from itrails_tpu.core.cutpoints import cutpoints_ab as _cab
+
+        coal_ab = pre["N_ABC"] / pre["N_AB"]
+        cuts = np.asarray(_cab(n_int_AB, pre["t_2"] / pre["N_ABC"], coal_ab))
+        abs_cut_ab = [pre_t_A + float(x) * pre["N_ABC"] for x in cuts]
+    if norm_cut_abc is not None:
+        abs_cut_abc = [float(x) for x in cut_abc_abs] + [math.inf]
+    else:
+        cuts = np.asarray(cutpoints_abc(n_int_ABC, 1.0))[:-1]
+        abs_cut_abc = [
+            pre_t_A + pre["t_2"] + float(x) * pre["N_ABC"] for x in cuts
+        ] + [math.inf]
+
+    norm_cut_ab_final = (
+        norm_cut_ab if norm_cut_ab is not None else None
+    )
+    return {
+        "params": d,
+        "case": case,
+        "mu": mu,
+        "settings": settings,
+        "norm_cut_ab": norm_cut_ab_final,
+        "norm_cut_abc": norm_cut_abc,
+        "abs_cut_ab": abs_cut_ab,
+        "abs_cut_abc": abs_cut_abc,
+    }

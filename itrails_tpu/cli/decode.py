@@ -1,0 +1,170 @@
+"""Shared implementation of the viterbi / posterior decoding workflows
+(reference workflow_viterbi.py / workflow_posterior.py): config resolution,
+model build, hidden-states CSV, decoding over the device mesh, and the
+output CSV writers (formats byte-compatible with the reference)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from itrails_tpu.cli.common import prepare_decode_setup, resolve_io
+from itrails_tpu.core.model import build_model
+from itrails_tpu.data.maf import maf_reference_coordinates, maf_tokens
+from itrails_tpu.data.tokens import aggregation_matrix
+from itrails_tpu.hmm import decoders, sharding, windows
+
+TOPOLOGY_MAP = {
+    0: "({sp1,sp2},sp3)",
+    1: "((sp1,sp2),sp3)",
+    2: "((sp1,sp3),sp2)",
+    3: "((sp2,sp3),sp1)",
+}
+
+
+def load_inputs(config, args):
+    maf_path, user_output, output_dir, output_prefix = resolve_io(config, args)
+    setup = prepare_decode_setup(config)
+    species = setup["settings"]["species_list"]
+    v_lst = maf_tokens(maf_path, species)
+    if not v_lst:
+        raise ValueError("Error reading MAF alignment file.")
+    ref = setup["settings"].get("reference")
+    coords = (
+        maf_reference_coordinates(maf_path, species, ref) if ref is not None else None
+    )
+    return setup, v_lst, coords, output_dir, output_prefix
+
+
+def build(setup, precision="float64"):
+    d = setup["params"]
+    model = build_model(
+        d["t_A"], d["t_B"], d["t_C"], d["t_2"], d["t_upper"], d["t_out"],
+        d["N_AB"], d["N_ABC"], d["r"], d["n_int_AB"], d["n_int_ABC"],
+        cut_AB=setup["norm_cut_ab"], cut_ABC=setup["norm_cut_abc"],
+    )
+    cast = jnp.dtype(precision)
+    a = model.a.astype(cast)
+    pi = model.pi.astype(cast)
+    bfull = decoders.emission_table(
+        model.b.astype(cast), jnp.asarray(aggregation_matrix(), cast)
+    )
+    return model, a, bfull, pi
+
+
+def write_hidden_states(path, model, setup, first_interval_from_ab: bool):
+    """``<prefix>.hidden_states.csv`` (reference workflow_viterbi.py:636-684
+    / workflow_posterior.py — the two differ in whether V0 first-coalescent
+    intervals are annotated with AB or ABC cutpoints; ``first_interval_from_ab``
+    selects the posterior behavior)."""
+    abs_ab = setup["abs_cut_ab"]
+    abs_abc = setup["abs_cut_abc"]
+    if os.path.exists(path):
+        print(f"Warning: File '{path}' already exists.")
+        path = path.replace(".hidden_states.csv", ".hidden_states_2.csv")
+        print(f"Using an alternative file name: {path}")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["state_idx", "topology", "interval_1st_coalescent",
+                    "interval_2nd_coalescent", "shorthand_name"])
+        for idx, state in enumerate(model.hidden_states):
+            code, i, j = state
+            if code == 0 and first_interval_from_ab:
+                lo, hi = abs_ab[i], abs_ab[i + 1]
+            else:
+                lo, hi = abs_abc[i], abs_abc[i + 1]
+            w.writerow([
+                idx,
+                TOPOLOGY_MAP.get(code, "Unknown"),
+                f"{lo:.2f}-{hi:.2f}",
+                f"{abs_abc[j]:.2f}-{abs_abc[j+1]:.2f}",
+                tuple(state),
+            ])
+    print(f"Hidden states written to file {path}.")
+
+
+def run_viterbi(a, bfull, pi, v_lst):
+    mesh = sharding.data_mesh()
+    tokens, lengths, owner = windows.pack_windows(
+        v_lst, pad_windows_to=mesh.devices.size
+    )
+    paths = np.asarray(
+        sharding.sharded_viterbi(a, bfull, pi, jnp.asarray(tokens), mesh)
+    )
+    return [
+        paths[w, : lengths[w]] for w in range(len(owner)) if owner[w] >= 0
+    ]
+
+
+def run_posterior(a, bfull, pi, v_lst):
+    mesh = sharding.data_mesh()
+    tokens, lengths, owner = windows.pack_windows(
+        v_lst, pad_windows_to=mesh.devices.size
+    )
+    post = np.asarray(
+        sharding.sharded_posterior(a, bfull, pi, jnp.asarray(tokens), mesh)
+    )  # (T, W, M)
+    return [
+        post[: lengths[w], w, :] for w in range(len(owner)) if owner[w] >= 0
+    ]
+
+
+def write_viterbi_csv(path, results, coords):
+    """Run-length-encoded state segments (reference
+    workflow_viterbi.py:692-744)."""
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Block_idx", "position_start", "position_end",
+                    "most_likely_state"])
+        for block_idx, res in enumerate(results):
+            if len(res) == 0:
+                continue
+            if coords is None:
+                seg_start = 0
+                cur = res[0]
+                for pos in range(1, len(res)):
+                    if res[pos] != cur:
+                        w.writerow([block_idx, seg_start, pos - 1, cur])
+                        seg_start = pos
+                        cur = res[pos]
+                w.writerow([block_idx, seg_start, len(res) - 1, cur])
+            else:
+                c = coords[block_idx]
+                first = next((i for i, x in enumerate(c) if x != -9), None)
+                if first is None:
+                    continue
+                seg_start = c[first]
+                cur_non_null = seg_start
+                cur = res[first]
+                for pos in range(first, len(res)):
+                    if seg_start == -9:
+                        seg_start = c[pos]
+                        cur = res[pos]
+                        cur_non_null = seg_start
+                        continue
+                    if res[pos] != cur:
+                        w.writerow([block_idx, seg_start, cur_non_null, cur])
+                        seg_start = c[pos]
+                        cur = res[pos]
+                    cur_non_null = c[pos] if c[pos] != -9 else cur_non_null
+                if not (seg_start == cur_non_null == -9):
+                    w.writerow([block_idx, seg_start, cur_non_null, cur])
+    print(f"Viterbi decoding complete. Results saved to {path}.")
+
+
+def write_posterior_csv(path, results, coords):
+    """Per-position per-state probabilities (reference
+    workflow_posterior.py:697-716)."""
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        n_states = results[0].shape[1] if results else 0
+        w.writerow(["alignment_block_idx", "position_idx"]
+                   + [f"prob_state_{i}" for i in range(n_states)])
+        for block_idx, arr in enumerate(results):
+            for pos_idx, row in enumerate(arr):
+                pos = pos_idx if coords is None else coords[block_idx][pos_idx]
+                w.writerow([block_idx, pos] + row.tolist())
+    print(f"Posterior decoding complete. Results saved to {path}.")

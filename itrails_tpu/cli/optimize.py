@@ -1,0 +1,83 @@
+"""``itrails-tpu-optimize``: maximum-likelihood parameter inference.
+
+CLI-compatible with the reference's ``itrails-optimize``
+(workflow_optimize.py): same YAML schema, same artifacts
+(.starting_params.yaml, .best_model.yaml checkpoint,
+.optimization_history.csv), same parameter-case rules.
+"""
+
+from __future__ import annotations
+
+import os
+
+from itrails_tpu import __version__
+from itrails_tpu.cli.common import prepare_optimize_setup, resolve_io, standard_parser
+from itrails_tpu.config import load_config, seed_best_model, write_starting_params
+from itrails_tpu.data.maf import maf_tokens
+from itrails_tpu.optim.optimizer import optimizer
+
+
+def main(argv=None):
+    parser = standard_parser(
+        "Optimize workflow using iTRAILS-TPU",
+        usage="itrails-tpu-optimize <config.yaml> --output OUTPUT_PATH",
+    )
+    parser.add_argument("--version", action="version",
+                        version=f"%(prog)s {__version__}")
+    parser.add_argument("--maxiter", type=int, default=10000)
+    parser.add_argument("--precision", choices=["float32", "float64"],
+                        default="float64")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config_file)
+    maf_path, user_output, output_dir, output_prefix = resolve_io(config, args)
+    print(f"Results will be saved to: {output_dir}.")
+
+    setup = prepare_optimize_setup(config)
+    settings = dict(setup["settings"])
+    settings["output_prefix"] = user_output
+    settings["input_maf"] = maf_path
+    species = settings["species_list"]
+
+    write_starting_params(
+        os.path.join(output_dir, f"{output_prefix}.starting_params.yaml"),
+        setup["descaled_fixed"],
+        setup["descaled_bounds"],
+        settings,
+    )
+    seed_best_model(
+        os.path.join(output_dir, f"{output_prefix}.best_model.yaml"),
+        setup["descaled_fixed"],
+        settings,
+    )
+
+    print("Reading MAF alignment file.")
+    v_lst = maf_tokens(maf_path, species)
+    if not v_lst:
+        raise ValueError("Error reading MAF alignment file.")
+    print(f"{len(v_lst)} alignment blocks, "
+          f"{sum(len(v) for v in v_lst)} columns.")
+
+    print("Running optimization...")
+    optimizer(
+        optim_variables=setup["optim_variables"],
+        optim_list=setup["optim_list"],
+        bounds=setup["bounds_list"],
+        fixed_params=setup["fixed_dict"],
+        v_lst=v_lst,
+        res_name=user_output,
+        case=setup["case"],
+        method=setup["method"],
+        maxiter=args.maxiter,
+        dtype=args.precision,
+    )
+    print(
+        f"Optimization complete. Results saved to "
+        f"{os.path.join(output_dir, f'{output_prefix}.optimization_history.csv')}.\n"
+        f"Best model saved to "
+        f"{os.path.join(output_dir, f'{output_prefix}.best_model.yaml')}."
+    )
+
+
+if __name__ == "__main__":
+    main()

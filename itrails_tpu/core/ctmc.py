@@ -38,7 +38,39 @@ def _rate_matrix(space, coal, rho, dtype):
     return q - jnp.diag(jnp.sum(q, axis=1))
 
 
-def _run_chain(plan_steps, masks, p, expms, vl_ctx=None):
+_BUCKET_SIZES = (8, 16, 32, 48, 64, 96, 128, 160, 208)
+
+
+def _vl_buckets(step, masks_np):
+    """Static (trace-time) grouping of a step's union propagators by padded
+    support size.
+
+    The union-restricted generator diag(u) Q diag(u) is zero outside the
+    union's state support, so its exponential is block-diagonal: the
+    restriction to the support (expm of an |support|^2 submatrix — at most
+    83 of 203 states, usually far fewer) plus identity elsewhere.  The
+    identity part never contributes (start/end class masks lie inside the
+    support), so each propagator shrinks to its support block.
+    """
+    supports = [np.where(m > 0.0)[0] for m in masks_np[step.vl_unions]]
+    buckets = {}
+    for ui, sup in enumerate(supports):
+        size = next(b for b in _BUCKET_SIZES if b >= len(sup))
+        buckets.setdefault(size, []).append(ui)
+    out = []
+    prop = step.vl_prop
+    for size, uis in sorted(buckets.items()):
+        sup_idx = np.full((len(uis), size), masks_np.shape[1], dtype=np.int64)
+        local = np.full(len(supports), -1, dtype=np.int64)
+        for k, ui in enumerate(uis):
+            sup_idx[k, : len(supports[ui])] = supports[ui]
+            local[ui] = k
+        t_sel = np.where(local[prop] >= 0)[0]
+        out.append((sup_idx, t_sel, local[prop[t_sel]]))
+    return out
+
+
+def _run_chain(plan_steps, masks, p, expms, vl_ctx=None, masks_np=None):
     """Run the interval DP: ``p`` is the (n_keys, S) key-probability table."""
     for s, step in enumerate(plan_steps):
         e = expms[s]
@@ -53,14 +85,28 @@ def _run_chain(plan_steps, masks, p, expms, vl_ctx=None):
         vals = ((x * ms) @ e) * masks[step.m_end]
         new_p = new_p.at[step.child].set(vals)
         if vl_ctx is not None and step.vl_parent.size:
-            # multi-coalescence transitions via union-restricted propagators
-            # (see schedule.StepPlan docstring)
+            # multi-coalescence transitions via support-compressed
+            # union-restricted propagators (see schedule.StepPlan docstring)
             q, dt = vl_ctx
-            u = masks[step.vl_unions]  # (U, n)
-            q_u = q[None] * u[:, :, None] * u[:, None, :]
-            e_u = expm_batch(q_u * dt[s])
+            n = q.shape[1]
+            q_ext = jnp.pad(q, ((0, 1), (0, 1)))  # zero padding row/col
             y = p[step.vl_parent] * masks[step.vl_m_start]
-            cv = jnp.einsum("vn,vnm->vm", y, e_u[step.vl_prop]) * masks[step.vl_m_end]
+            y_ext = jnp.pad(y, ((0, 0), (0, 1)))
+            n_v = step.vl_parent.size
+            child_vals = jnp.zeros((n_v, n), p.dtype)
+            for sup_idx, t_sel, local_prop in _vl_buckets(step, masks_np):
+                q_sub = q_ext[sup_idx[:, :, None], sup_idx[:, None, :]]
+                e_sub = expm_batch(q_sub * dt[s])  # (Ub, S, S)
+                rows = sup_idx[local_prop]  # (Vb, S)
+                y_sub = jnp.take_along_axis(y_ext[t_sel], rows, axis=1)
+                out_sub = jnp.einsum("vs,vst->vt", y_sub, e_sub[local_prop])
+                scat = (
+                    jnp.zeros((len(t_sel), n + 1), p.dtype)
+                    .at[jnp.arange(len(t_sel))[:, None], rows]
+                    .add(out_sub)[:, :n]
+                )
+                child_vals = child_vals.at[t_sel].set(scat)
+            cv = child_vals * masks[step.vl_m_end]
             new_p = new_p.at[step.vl_child].set(cv)
         p = new_p
     return p
@@ -140,7 +186,8 @@ def joint_matrix(
     if n_steps:
         e_abc = expm_batch(q_abc[None] * dt_abc[:n_steps, None, None])
         p_abc = _run_chain(
-            plan.abc_steps, abc_masks, p_abc, e_abc, vl_ctx=(q_abc, dt_abc)
+            plan.abc_steps, abc_masks, p_abc, e_abc, vl_ctx=(q_abc, dt_abc),
+            masks_np=plan.abc_masks,
         )
 
     # ---- final (infinite) interval ----

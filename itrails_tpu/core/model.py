@@ -104,18 +104,21 @@ def _build(plan, t_A, t_B, t_C, t_2, t_upper, t_out, N_AB, N_ABC, r,
 
 @functools.lru_cache(maxsize=8)
 def build_model_fn(n_int_AB: int, n_int_ABC: int, dtype_name: str = "float64",
-                   device: str | None = "cpu"):
+                   device: str | None = "cpu", manual_cuts: bool = False):
     """A jit-compiled ``params -> (a, b, pi, cut_AB, cut_ABC)`` builder.
 
     The model build uses f64 linear solves which this TPU backend lacks, so
     by default it is placed on the host CPU (it is tiny — a few ms — while
-    the genome-scale decoding runs on TPU in f32/bf16)."""
+    the genome-scale decoding runs on TPU in f32/bf16).  With
+    ``manual_cuts`` the function takes two extra trailing arguments: the
+    cutpoint arrays in coalescent units (last ABC entry ignored)."""
     plan = build_plan(n_int_AB, n_int_ABC)
     dtype = jnp.dtype(dtype_name)
 
-    def fn(t_A, t_B, t_C, t_2, t_upper, t_out, N_AB, N_ABC, r):
+    def fn(t_A, t_B, t_C, t_2, t_upper, t_out, N_AB, N_ABC, r,
+           cut_AB=None, cut_ABC=None):
         return _build(plan, t_A, t_B, t_C, t_2, t_upper, t_out, N_AB, N_ABC,
-                      r, dtype=dtype)
+                      r, cut_AB=cut_AB, cut_ABC=cut_ABC, dtype=dtype)
 
     if device is not None:
         dev = jax.devices(device)[0]
@@ -131,12 +134,25 @@ def build_model_fn(n_int_AB: int, n_int_ABC: int, dtype_name: str = "float64",
 def build_model(
     t_A, t_B, t_C, t_2, t_upper, t_out, N_AB, N_ABC, r,
     n_int_AB: int, n_int_ABC: int, dtype=jnp.float64, device="cpu",
+    cut_AB=None, cut_ABC=None,
 ) -> HmmModel:
     """Convenience wrapper returning an :class:`HmmModel` (the reference's
-    trans_emiss_calc signature, get_trans_emiss.py:8-60)."""
+    trans_emiss_calc signature, get_trans_emiss.py:8-60).  ``cut_AB`` /
+    ``cut_ABC`` optionally override the standard quantile cutpoints
+    (coalescent units; ABC may include a trailing inf, which is replaced)."""
     fn = build_model_fn(n_int_AB, n_int_ABC, jnp.dtype(dtype).name, device)
-    a, b, pi, cut_ab, cut_abc = fn(t_A, t_B, t_C, t_2, t_upper, t_out,
-                                   N_AB, N_ABC, r)
+    args = [t_A, t_B, t_C, t_2, t_upper, t_out, N_AB, N_ABC, r]
+    kwargs = {}
+    if cut_AB is not None:
+        kwargs["cut_AB"] = jnp.asarray(cut_AB, dtype)
+    if cut_ABC is not None:
+        cut_ABC = jnp.asarray(cut_ABC, dtype)
+        if cut_ABC.shape[0] == n_int_ABC:  # final infinite bound implicit
+            cut_ABC = jnp.concatenate([cut_ABC, jnp.zeros(1, dtype)])
+        else:
+            cut_ABC = cut_ABC.at[-1].set(0.0)
+        kwargs["cut_ABC"] = cut_ABC
+    a, b, pi, cut_ab, cut_abc = fn(*args, **kwargs)
     plan = build_plan(n_int_AB, n_int_ABC)
     return HmmModel(a=a, b=b, pi=pi, hidden_states=plan.hidden_states,
                     cut_AB=cut_ab, cut_ABC=cut_abc)

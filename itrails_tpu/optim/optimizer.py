@@ -1,0 +1,134 @@
+"""Outer maximum-likelihood optimizer.
+
+The reference's hot loop (optimizer.py:396-637): scipy Nelder-Mead /
+L-BFGS-B over the free parameters; each objective evaluation rebuilds
+(a, b, pi) and sums the forward log-likelihood over all alignment blocks.
+Here the model rebuild is one jitted call (CPU, f64) and the likelihood is
+one jitted data-parallel scan over the padded window batch on the
+accelerator mesh — no process pools, no per-eval recompilation.
+
+Artifacts per evaluation match the reference: a row
+``[n_eval, params..., loglik, seconds]`` appended to
+``<prefix>.optimization_history.csv`` and a conditional best-model YAML
+update.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from itrails_tpu.config import update_best_model
+from itrails_tpu.core.model import build_model_fn
+from itrails_tpu.data.tokens import aggregation_matrix
+from itrails_tpu.hmm import decoders, sharding, windows
+from itrails_tpu.optim.cases import resolve_times
+
+__all__ = ["LoglikEngine", "optimizer", "write_list"]
+
+
+def write_list(lst, path):
+    """Append one comma-separated row (reference optimizer.py:380-393)."""
+    with open(path, "a") as f:
+        f.write(",".join(str(x) for x in lst) + "\n")
+
+
+class LoglikEngine:
+    """Packs alignment blocks once and evaluates total forward log-likelihood
+    for a parameter dictionary with two jitted calls (model build + sharded
+    decode)."""
+
+    def __init__(self, v_lst, n_int_AB, n_int_ABC, dtype="float64",
+                 mesh=None, max_window_len=None):
+        self.mesh = sharding.data_mesh() if mesh is None else mesh
+        n_dev = self.mesh.devices.size
+        self.tokens, self.lengths, self.owner = windows.pack_windows(
+            v_lst, pad_windows_to=n_dev, max_window_len=max_window_len
+        )
+        self.tokens = sharding.shard_batch(jnp.asarray(self.tokens), self.mesh)
+        self.n_int_AB = n_int_AB
+        self.n_int_ABC = n_int_ABC
+        self.dtype = dtype
+        self._builder = build_model_fn(n_int_AB, n_int_ABC, dtype)
+        self._agg = jnp.asarray(aggregation_matrix())
+        self._loglik = jax.jit(
+            lambda a, bfull, pi, tokens: decoders.forward_loglik(a, bfull, pi, tokens)
+        )
+
+    @property
+    def n_columns(self) -> int:
+        return int(self.lengths.sum())
+
+    def loglik(self, params: dict) -> float:
+        a, b, pi, _, _ = self._builder(
+            params["t_A"], params["t_B"], params["t_C"], params["t_2"],
+            params["t_upper"], params["t_out"], params["N_AB"],
+            params["N_ABC"], params["r"],
+        )
+        dt = self.tokens.dtype  # noqa: F841  (tokens stay int32)
+        cast = jnp.dtype(self.dtype)
+        bfull = decoders.emission_table(b.astype(cast), self._agg.astype(cast))
+        return float(self._loglik(a.astype(cast), bfull, pi.astype(cast), self.tokens))
+
+
+def optimizer(
+    optim_variables,
+    optim_list,
+    bounds,
+    fixed_params,
+    v_lst,
+    res_name,
+    case,
+    method="Nelder-Mead",
+    header=True,
+    maxiter=10000,
+    dtype="float64",
+    engine=None,
+):
+    """Run the outer optimization (reference optimizer.py:586-637).
+
+    Returns the scipy result object.  ``res_name`` is the output
+    path/prefix; ``<res_name>.optimization_history.csv`` and
+    ``<res_name>.best_model.yaml`` follow the reference contract.
+    """
+    output_dir, output_prefix = os.path.split(res_name)
+    history = os.path.join(output_dir, f"{output_prefix}.optimization_history.csv")
+    best_model_yaml = os.path.join(output_dir, f"{output_prefix}.best_model.yaml")
+    if header:
+        write_list(["n_eval"] + list(optim_variables) + ["loglik", "time"], history)
+
+    if engine is None:
+        engine = LoglikEngine(
+            v_lst, fixed_params["n_int_AB"], fixed_params["n_int_ABC"], dtype=dtype
+        )
+    info = {"n_eval": 0, "t0": time.time()}
+
+    def objective(arg_lst):
+        d = dict(fixed_params)
+        for name, value in zip(optim_variables, arg_lst):
+            d[name] = float(value)
+        d = resolve_times(case, d)
+        ll = engine.loglik(d)
+        write_list(
+            [info["n_eval"]] + [float(v) for v in arg_lst]
+            + [ll, time.time() - info["t0"]],
+            history,
+        )
+        if os.path.exists(best_model_yaml):
+            update_best_model(best_model_yaml, optim_variables, arg_lst, ll,
+                              info["n_eval"])
+        info["n_eval"] += 1
+        return -ll
+
+    return minimize(
+        objective,
+        x0=np.asarray(optim_list, dtype=np.float64),
+        method=method,
+        bounds=bounds,
+        options={"maxiter": maxiter, "disp": True},
+    )

@@ -1,0 +1,127 @@
+"""End-to-end CLI workflow tests on the synthetic MAF."""
+
+import csv
+import os
+
+import numpy as np
+import yaml
+
+from tests.conftest import GOLDENS
+
+MAF = os.path.join(GOLDENS, "synthetic.maf")
+SPECIES = ["hg38", "panTro5", "gorGor5", "ponAbe2"]
+
+
+def _optimize_config(tmp_path, maxish=True):
+    return {
+        "fixed_parameters": {"mu": 1e-8},
+        "optimized_parameters": {
+            "N_AB": [50000, 5000, 500000],
+            "N_ABC": [50000, 5000, 500000],
+            "t_1": [240000, 24000, 2400000],
+            "t_2": [40000, 4000, 400000],
+            "t_upper": [745069.3855, 74506.9385, 7450693.8556],
+            "r": [1e-8, 1e-9, 1e-7],
+        },
+        "settings": {
+            "input_maf": MAF,
+            "output_prefix": None,
+            "n_cpu": 1,
+            "method": "Nelder-Mead",
+            "species_list": SPECIES,
+            "n_int_AB": 1,
+            "n_int_ABC": 2,
+        },
+    }
+
+
+def _decode_config():
+    return {
+        "fixed_parameters": {
+            "mu": 1e-8,
+            "t_1": 240000,
+            "t_2": 40000,
+            "t_upper": 745069.3855,
+            "N_AB": 50000,
+            "N_ABC": 50000,
+            "r": 1e-8,
+        },
+        "optimized_parameters": {},
+        "settings": {
+            "input_maf": MAF,
+            "output_prefix": None,
+            "species_list": SPECIES,
+            "n_int_AB": 1,
+            "n_int_ABC": 2,
+        },
+    }
+
+
+def test_optimize_cli_end_to_end(tmp_path):
+    from itrails_tpu.cli.optimize import main
+
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(_optimize_config(tmp_path), f)
+    out = tmp_path / "run" / "test"
+    main([str(cfg_path), "--output", str(out), "--maxiter", "3"])
+
+    d = tmp_path / "run"
+    assert (d / "test.starting_params.yaml").exists()
+    assert (d / "test.best_model.yaml").exists()
+    hist = list(csv.reader(open(d / "test.optimization_history.csv")))
+    assert hist[0][:1] == ["n_eval"] and hist[0][-2:] == ["loglik", "time"]
+    assert len(hist) >= 4  # header + >= maxiter rows
+
+    best = yaml.safe_load(open(d / "test.best_model.yaml"))
+    assert best["results"]["log_likelihood"] is not None
+    assert np.isfinite(best["results"]["log_likelihood"])
+    # de-scaled parameters should be in natural units (e.g. Ne ~ 1e4..1e6)
+    assert 5000 <= best["optimized_parameters"]["N_AB"] <= 500000
+
+
+def test_viterbi_and_posterior_cli(tmp_path):
+    from itrails_tpu.cli.posterior import main as posterior_main
+    from itrails_tpu.cli.viterbi import main as viterbi_main
+
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(_decode_config(), f)
+
+    out = tmp_path / "v" / "run"
+    viterbi_main([str(cfg_path), "--output", str(out)])
+    vit = list(csv.reader(open(tmp_path / "v" / "run.viterbi.csv")))
+    assert vit[0] == ["Block_idx", "position_start", "position_end",
+                      "most_likely_state"]
+    assert len(vit) > 1
+    hidden = list(csv.reader(open(tmp_path / "v" / "run.hidden_states.csv")))
+    n_states = len(hidden) - 1
+    assert n_states == 1 * 2 + 3 * 2 + 3 * 1  # M for 1x2
+    # segments within block bounds and states in range
+    for row in vit[1:]:
+        assert 0 <= int(row[1]) <= int(row[2])
+        assert 0 <= int(float(row[3])) < n_states
+
+    out2 = tmp_path / "p" / "run"
+    posterior_main([str(cfg_path), "--output", str(out2)])
+    post = list(csv.reader(open(tmp_path / "p" / "run.posterior.csv")))
+    assert post[0][:2] == ["alignment_block_idx", "position_idx"]
+    assert len(post[0]) == 2 + n_states
+    probs = np.array([[float(x) for x in row[2:]] for row in post[1:]])
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-8)
+
+
+def test_viterbi_with_reference_coordinates(tmp_path):
+    from itrails_tpu.cli.viterbi import main as viterbi_main
+
+    cfg = _decode_config()
+    cfg["settings"]["reference"] = "hg38"
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out = tmp_path / "r" / "run"
+    viterbi_main([str(cfg_path), "--output", str(out)])
+    vit = list(csv.reader(open(tmp_path / "r" / "run.viterbi.csv")))
+    # coordinates projected to hg38 positions (block 1 starts at 1000)
+    starts = [int(float(r[1])) for r in vit[1:] if r[0] == "0"]
+    assert min(starts) >= 1000

@@ -219,6 +219,64 @@ def golden_hmm(a, b, pi, tag, seed=7):
     print(f"hmm_{tag}.npz written")
 
 
+MAF_SPECIES = ["hg38", "panTro5", "gorGor5", "ponAbe2"]
+
+
+def _write_synthetic_maf(path, seed=11):
+    """Small synthetic MAF exercising gaps, strands, missing species and
+    lower-case bases."""
+    rng = np.random.default_rng(seed)
+
+    def seq(n, gap_p=0.08):
+        bases = rng.choice(list("ACGTacgt-"), size=n,
+                           p=[0.14, 0.14, 0.14, 0.14, 0.09, 0.09, 0.09, 0.09, 0.08])
+        return "".join(bases)
+
+    with open(path, "w") as f:
+        f.write("##maf version=1\n\n")
+        # block 1: all species, + strand
+        n = 60
+        f.write("a score=100.0\n")
+        starts = [1000, 2000, 3000, 4000]
+        for sp, st in zip(MAF_SPECIES, starts):
+            s = seq(n)
+            size = sum(c != "-" for c in s)
+            f.write(f"s {sp}.chr1 {st} {size} + 500000 {s}\n")
+        f.write("\n")
+        # block 2: missing one species (must be skipped by tokenizer)
+        f.write("a score=50.0\n")
+        for sp in MAF_SPECIES[:3]:
+            s = seq(40)
+            size = sum(c != "-" for c in s)
+            f.write(f"s {sp}.chr1 7000 {size} + 500000 {s}\n")
+        f.write("\n")
+        # block 3: all species, reference on - strand
+        n = 45
+        f.write("a score=80.0\n")
+        for i, sp in enumerate(MAF_SPECIES):
+            s = seq(n)
+            size = sum(c != "-" for c in s)
+            strand = "-" if i == 0 else "+"
+            f.write(f"s {sp}.chr1 {8000+i} {size} {strand} 500000 {s}\n")
+        f.write("\n")
+
+
+def golden_maf():
+    maf_path = os.path.join(GOLDENS, "synthetic.maf")
+    _write_synthetic_maf(maf_path)
+    from itrails.read_data import maf_parser, parse_coordinates  # noqa: E402
+
+    blocks = maf_parser(maf_path, MAF_SPECIES)
+    coords = parse_coordinates(maf_path, MAF_SPECIES, "hg38")
+    out = {"n_blocks": np.array(len(blocks))}
+    for i, b in enumerate(blocks):
+        out[f"tokens_{i}"] = b
+    for i, c in enumerate(coords):
+        out[f"coords_{i}"] = np.asarray(c, dtype=np.int64)
+    np.savez(os.path.join(GOLDENS, "maf.npz"), **out)
+    print(f"maf.npz written ({len(blocks)} token blocks, {len(coords)} coord blocks)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small fixtures only")
@@ -229,6 +287,8 @@ def main():
     def want(name):
         return args.only is None or args.only == name
 
+    if want("maf"):
+        golden_maf()
     if want("statespace"):
         golden_statespace()
     if want("cutpoints"):
