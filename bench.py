@@ -61,22 +61,29 @@ def main():
 
     n_windows, win_len = (4096, 8192) if platform != "cpu" else (32, 2048)
     rng = np.random.default_rng(0)
-    tokens = jax.device_put(
-        jnp.asarray(rng.integers(0, 625, size=(n_windows, win_len)), jnp.int32), dev
-    )
     n_cols = n_windows * win_len
+    # NOTE: on the tunneled axon backend block_until_ready() does not wait
+    # for remote execution and repeated identical calls are memoized, so
+    # each timed repetition uses a never-before-seen input buffer and
+    # materializes the scalar result (a true end-to-end likelihood fetch).
+    reps = 4
+    bufs = [
+        jax.device_put(
+            jnp.asarray(rng.integers(0, 625, size=(n_windows, win_len)), jnp.int32),
+            dev,
+        )
+        for _ in range(reps + 1)
+    ]
 
     fwd = jax.jit(decoders.forward_loglik)
-    for _ in range(2):  # compile + warm up
-        ll = fwd(a, bfull, pi, tokens)
-        jax.block_until_ready(ll)
+    ll = float(fwd(a, bfull, pi, bufs[0]))  # compile + warm up
 
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        ll = fwd(a, bfull, pi, tokens)
-    jax.block_until_ready(ll)
-    dt = (time.time() - t0) / reps
+    times = []
+    for i in range(1, reps + 1):
+        t0 = time.time()
+        ll = float(fwd(a, bfull, pi, bufs[i]))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     cols_per_sec = n_cols / dt
 
     print(json.dumps({
@@ -86,7 +93,7 @@ def main():
         "vs_baseline": round(cols_per_sec / BASELINE_COLS_PER_SEC, 2),
         "platform": platform,
         "batch": [n_windows, win_len],
-        "loglik": float(ll),
+        "loglik": ll,
         "model_build_s_first": round(build_first_s, 3),
         "model_build_s_cached": round(build_eval_s, 3),
     }))
