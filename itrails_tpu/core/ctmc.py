@@ -179,6 +179,18 @@ def joint_matrix(
 
     # ---- combine with C, start ABC epoch ----
     pi_abc = jnp.einsum("ki,j,mij->km", p_ab, f_c, combine3)
+    return run_abc_stage(plan, pi_abc, q_abc, cut_ABC, dtype)
+
+
+def run_abc_stage(plan: Plan, pi_abc, q_abc, cut_ABC, dtype=jnp.float64):
+    """Run the deep (ABC) epoch from per-initial-key probability vectors
+    ``pi_abc`` of shape (len(plan.abc_init_from_ab), 203) to the joint
+    hidden-state matrix.  Shared by the plain and introgression pipelines."""
+    sp3 = state_space(3)
+    abc_masks = jnp.asarray(plan.abc_masks, dtype)
+    cut_ABC = jnp.asarray(cut_ABC, dtype)
+    dt_abc = cut_ABC[1:] - cut_ABC[:-1]
+
     p_abc = jnp.zeros((plan.abc_n_keys, sp3.n_states), dtype)
     p_abc = p_abc.at[plan.abc_init_from_ab].set(pi_abc)
 

@@ -262,6 +262,7 @@ def emission_matrix(
     cut_AB,
     cut_ABC,
     dtype=jnp.float64,
+    extra_states=None,
 ):
     """Emission probability matrix ``b`` of shape (M, 256), rows ordered by
     the sorted hidden-state list (schedule.hidden_state_list), columns by the
@@ -374,6 +375,99 @@ def emission_matrix(
 
     from itrails_tpu.core.schedule import hidden_state_list
 
-    hidden = hidden_state_list(n_int_AB, n_int_ABC)
+    if extra_states is not None:
+        out.update(extra_states)
+    hidden = hidden_state_list(n_int_AB, n_int_ABC, introgression=extra_states is not None)
     b = jnp.stack([out[h] for h in hidden])
     return b.reshape(len(hidden), 256)
+
+
+def emission_matrix_introgression(
+    *,
+    n_int_AB,
+    n_int_ABC,
+    t_A,
+    t_B,
+    t_C,
+    t_AB,
+    t_m,
+    t_upper,
+    t_out,
+    coal_AB,
+    coal_BC,
+    coal_ABC,
+    mu,
+    cut_AB,
+    cut_ABC,
+    dtype=jnp.float64,
+):
+    """Emission matrix for the introgression model (reference
+    get_emission_prob_mat_introgression, int_get_emission_prob_mat.py:
+    744-1110).
+
+    ``t_B``/``t_C`` run from the present to the *migration* event; the
+    V0-V3 geometries are the plain ones with the effective branch lengths
+    ``t_B + t_m`` and ``t_C + t_m + t_AB``; the V4 (introgressed) states
+    coalesce B with C in the BC epoch on the shifted cutpoint grid
+    ``cut_BC = [0] + (cut_AB[1:] + t_m)`` at rate ``coal_BC``.
+    """
+    cut_AB = jnp.asarray(cut_AB, dtype)
+    cut_ABC = jnp.asarray(cut_ABC, dtype)
+    cut_BC = jnp.concatenate([jnp.zeros(1, dtype), cut_AB[1:] + t_m])
+    last = n_int_ABC - 1
+
+    v4_pairs = np.array(
+        [(i, j) for i in range(n_int_AB) for j in range(n_int_ABC)], dtype=np.int64
+    ).reshape(-1, 2)
+
+    def v4_params(i, j):
+        is_last = j == last
+        th_a = t_B * mu + cut_BC[i] * mu  # branch x = species B
+        th_b = t_C * mu + cut_BC[i] * mu  # branch y = species C
+        th_c = (t_A + t_AB) * mu + cut_ABC[j] * mu  # branch z = species A
+        th_ab = (t_AB + t_m - cut_BC[i + 1]) * mu + cut_ABC[j] * mu
+        t1 = cut_BC[i + 1] - cut_BC[i]
+        t2 = jnp.where(is_last, t_upper, cut_ABC[jnp.minimum(j + 1, last)] - cut_ABC[j])
+        add = jnp.where(
+            is_last, 0.0, t_upper + cut_ABC[last] - cut_ABC[jnp.minimum(j + 1, last)]
+        )
+        th_d = t_out * mu + add * mu
+        return th_a, th_b, th_c, th_ab, th_d, t1, t2
+
+    th_a, th_b, th_c, th_ab, th_d, t1, t2 = vmap(v4_params)(
+        v4_pairs[:, 0], v4_pairs[:, 1]
+    )
+    v4 = vmap(
+        lambda a, b, c, ab, d, x1, x2: _emission_single(
+            a, b, c, ab, d, x1, mu, coal_BC, x2, mu, coal_ABC
+        )
+    )(th_a, th_b, th_c, th_ab, th_d, t1, t2)
+    # branches (B, C, A): back to (A, B, C, D) axis order (reference
+    # int_get_emission_prob_mat.py:1098-1100)
+    v4 = v4.transpose(0, 3, 1, 2, 4)
+    extra = {
+        (4, int(i), int(j)): v4[n] for n, (i, j) in enumerate(v4_pairs)
+    }
+
+    return emission_matrix(
+        n_int_AB=n_int_AB,
+        n_int_ABC=n_int_ABC,
+        t_A=t_A,
+        t_B=t_B + t_m,
+        t_C=t_C + t_m + t_AB,
+        t_AB=t_AB,
+        t_upper=t_upper,
+        t_out=t_out,
+        coal_AB=coal_AB,
+        coal_ABC=coal_ABC,
+        mu_A=mu,
+        mu_B=mu,
+        mu_C=mu,
+        mu_D=mu,
+        mu_AB=mu,
+        mu_ABC=mu,
+        cut_AB=cut_AB,
+        cut_ABC=cut_ABC,
+        dtype=dtype,
+        extra_states=extra,
+    )

@@ -219,6 +219,47 @@ def golden_hmm(a, b, pi, tag, seed=7):
     print(f"hmm_{tag}.npz written")
 
 
+INT_PARAMS = dict(
+    t_A=0.0024,
+    t_B=0.0016,
+    t_C=0.0016,
+    t_2=0.0004,
+    t_upper=0.00745069,
+    t_out=0.009312,
+    t_m=0.0008,
+    N_AB=0.0005,
+    N_BC=0.0004,
+    N_ABC=0.0005,
+    r=1.0,
+    m=0.1,
+)
+
+
+def golden_int(params, n_int_AB, n_int_ABC, tag):
+    import tempfile
+
+    from itrails.int_get_trans_emiss import trans_emiss_calc_introgression
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as tmp:
+        a, b, pi, hidden, observed = trans_emiss_calc_introgression(
+            params["t_A"], params["t_B"], params["t_C"], params["t_2"],
+            params["t_upper"], params["t_out"], params["t_m"],
+            params["N_AB"], params["N_BC"], params["N_ABC"], params["r"],
+            params["m"], n_int_AB, n_int_ABC, "standard", "standard", tmp,
+        )
+    hidden_arr = np.array([list(hidden[i]) for i in range(len(hidden))],
+                          dtype=np.int64)
+    observed_arr = np.array([observed[i] for i in range(len(observed))])
+    np.savez(
+        os.path.join(GOLDENS, f"int_model_{tag}.npz"),
+        a=a, b=np.asarray(b, dtype=np.float64), pi=pi, hidden=hidden_arr,
+        observed=observed_arr,
+    )
+    print(f"int_model_{tag}.npz written (M={len(pi)}, {time.time()-t0:.1f}s, "
+          f"pi_sum={pi.sum():.10f})")
+
+
 MAF_SPECIES = ["hg38", "panTro5", "gorGor5", "ponAbe2"]
 
 
@@ -289,6 +330,11 @@ def main():
 
     if want("maf"):
         golden_maf()
+    if want("int"):
+        golden_int(INT_PARAMS, 1, 2, "1x2")
+        if not args.quick:
+            golden_int(INT_PARAMS, 2, 2, "2x2")
+            golden_int(INT_PARAMS, 3, 3, "3x3")
     if want("statespace"):
         golden_statespace()
     if want("cutpoints"):
