@@ -75,13 +75,24 @@ def _classify(name, fixed, optimized):
     return None
 
 
-def prepare_optimize_setup(config):
+def prepare_optimize_setup(config, introgression=False):
     """Parse + validate an optimize config; returns a dict with
     optim_variables/optim_list/bounds_list (mu-scaled), fixed_dict
-    (mu-scaled), case, and de-scaled dicts for the YAML artifacts."""
+    (mu-scaled), case, and de-scaled dicts for the YAML artifacts.
+
+    NOTE (deviation): the reference's int workflows multiply the admixture
+    proportion ``m`` by mu like a time parameter
+    (workflow_int_optimize.py:372-390), which silently scales a
+    dimensionless probability by ~1e-8; here ``m`` is used as given.
+    """
     fixed = config["fixed_parameters"]
     optimized = config["optimized_parameters"]
     settings = config["settings"]
+    if introgression and settings.get("proportional"):
+        raise ValueError(
+            "Proportional t_m is currently not supported in the optimization "
+            "workflow. Please provide t_m as an absolute value in generations."
+        )
     mu = float(fixed["mu"])
     n_int_AB = settings["n_int_AB"]
     n_int_ABC = settings["n_int_ABC"]
@@ -122,11 +133,16 @@ def prepare_optimize_setup(config):
             f"combinations in the documentation."
         )
 
-    for name in ("t_2", "N_ABC", "N_AB", "r"):
+    required = (
+        ("t_2", "N_ABC", "N_AB", "N_BC", "r", "t_m", "m")
+        if introgression
+        else ("t_2", "N_ABC", "N_AB", "r")
+    )
+    for name in required:
         if take(name) is None:
             raise ValueError(
-                "Parameters 't_2', 'N_ABC', 'N_AB' and 'r' must be present in "
-                "optimized or fixed parameters."
+                f"Parameters {required} must be present in optimized or "
+                f"fixed parameters."
             )
 
     # t_upper: direct, or derived from t_3 and N_ABC
@@ -190,7 +206,22 @@ def prepare_optimize_setup(config):
     if "t_out" in fixed:
         fixed_dict["t_out"] = float(fixed["t_out"])
 
-    # validation + mu scaling (reference workflow_optimize.py:368-405)
+    # validation + mu scaling (reference workflow_optimize.py:368-405);
+    # 'm' is a dimensionless proportion and is not scaled (see NOTE above)
+    def scale(name, v):
+        if name == "r":
+            return v / mu
+        if name == "m":
+            return v
+        return v * mu
+
+    def descale(name, v):
+        if name == "r":
+            return v * mu
+        if name == "m":
+            return v
+        return v / mu
+
     for i, name in enumerate(optim_variables):
         start = optim_list[i]
         lo, hi = bounds_list[i]
@@ -203,29 +234,25 @@ def prepare_optimize_setup(config):
             raise ValueError(f"Starting value for '{name}' must be a positive number.")
         if lo <= 0:
             raise ValueError(f"Minimum value for '{name}' must be a positive number.")
-        if name == "r":
-            optim_list[i] = start / mu
-            bounds_list[i] = (lo / mu, hi / mu)
-        else:
-            optim_list[i] = start * mu
-            bounds_list[i] = (lo * mu, hi * mu)
+        optim_list[i] = scale(name, start)
+        bounds_list[i] = (scale(name, lo), scale(name, hi))
 
     for name, value in list(fixed_dict.items()):
         if name not in ("n_int_AB", "n_int_ABC"):
-            fixed_dict[name] = value / mu if name == "r" else value * mu
+            fixed_dict[name] = scale(name, value)
 
     # de-scaled copies for the YAML artifacts
     descaled_fixed = {
-        k: (v * mu if k == "r" else v / mu)
+        k: descale(k, v)
         for k, v in fixed_dict.items()
         if k not in ("n_int_AB", "n_int_ABC")
     }
     descaled_fixed["mu"] = mu
     descaled_bounds = {
         name: [
-            (optim_list[i] * mu if name == "r" else optim_list[i] / mu),
-            (bounds_list[i][0] * mu if name == "r" else bounds_list[i][0] / mu),
-            (bounds_list[i][1] * mu if name == "r" else bounds_list[i][1] / mu),
+            descale(name, optim_list[i]),
+            descale(name, bounds_list[i][0]),
+            descale(name, bounds_list[i][1]),
         ]
         for i, name in enumerate(optim_variables)
     }
@@ -244,11 +271,11 @@ def prepare_optimize_setup(config):
     }
 
 
-def prepare_decode_setup(config):
+def prepare_decode_setup(config, introgression=False):
     """Parse a viterbi/posterior config (parameters are scalars — typically
     the best_model.yaml of an optimize run) into a fully resolved,
     mu-scaled parameter dict plus cutpoints (reference
-    workflow_viterbi.py:154-610)."""
+    workflow_viterbi.py:154-610, workflow_int_viterbi.py)."""
     fixed = config["fixed_parameters"]
     optimized = config.get("optimized_parameters") or {}
     settings = config["settings"]
@@ -267,11 +294,31 @@ def prepare_decode_setup(config):
     if case not in ALLOWED_CASES:
         raise ValueError(f"Invalid combination of time values: {found}")
 
-    for name in ("t_2", "N_ABC", "N_AB", "r"):
+    required = (
+        ("t_2", "N_ABC", "N_AB", "N_BC", "r", "t_m", "m")
+        if introgression
+        else ("t_2", "N_ABC", "N_AB", "r")
+    )
+    for name in required:
         kind = _classify(name, fixed, optimized)
         if kind is None:
             raise ValueError(f"Parameter '{name}' must be provided.")
         d[name] = float(fixed[name] if kind == "fixed" else optimized[name])
+
+    if introgression and settings.get("proportional"):
+        # t_m given as a proportion of t_1 (reference
+        # workflow_int_viterbi.py:418-428)
+        if case != frozenset(["t_1"]):
+            raise ValueError(
+                "Proportional t_m is only supported for the case where only "
+                "'t_1' is given."
+            )
+        if d["t_m"] > 1:
+            raise ValueError(
+                "If proportional t_m is wanted, please input t_m as a "
+                "proportion (between 0 and 1)."
+            )
+        d["t_m"] = d["t_1"] * d["t_m"]
 
     pre = {k: v for k, v in d.items()}  # un-scaled values for cutpoints
     pre_t_A = d.get("t_A", d.get("t_1"))
@@ -320,15 +367,21 @@ def prepare_decode_setup(config):
     if "t_out" in fixed:
         d["t_out"] = float(fixed["t_out"])
 
-    # mu-scale everything
+    # mu-scale everything ('m' stays dimensionless — see
+    # prepare_optimize_setup NOTE)
     for name, value in list(d.items()):
-        if name not in ("n_int_AB", "n_int_ABC"):
+        if name not in ("n_int_AB", "n_int_ABC", "m"):
             d[name] = value / mu if name == "r" else value * mu
 
     deep = None
     if norm_cut_abc is not None:
         deep = norm_cut_abc[-1] * d["N_ABC"]
-    d = resolve_times(case, d, deep=deep)
+    if introgression:
+        from itrails_tpu.optim.cases import resolve_times_introgression
+
+        d = resolve_times_introgression(case, d, deep=deep)
+    else:
+        d = resolve_times(case, d, deep=deep)
 
     # absolute cutpoints for reporting (units of the input config)
     if norm_cut_ab is not None:

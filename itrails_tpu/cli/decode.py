@@ -22,12 +22,14 @@ TOPOLOGY_MAP = {
     1: "((sp1,sp2),sp3)",
     2: "((sp1,sp3),sp2)",
     3: "((sp2,sp3),sp1)",
+    4: "({sp2,sp3},sp1)",  # introgressed (reference workflow_int_viterbi.py:672)
 }
 
 
-def load_inputs(config, args):
+def load_inputs(config, args, introgression=False):
     maf_path, user_output, output_dir, output_prefix = resolve_io(config, args)
-    setup = prepare_decode_setup(config)
+    setup = prepare_decode_setup(config, introgression=introgression)
+    setup["introgression"] = introgression
     species = setup["settings"]["species_list"]
     v_lst = maf_tokens(maf_path, species)
     if not v_lst:
@@ -41,11 +43,21 @@ def load_inputs(config, args):
 
 def build(setup, precision="float64"):
     d = setup["params"]
-    model = build_model(
-        d["t_A"], d["t_B"], d["t_C"], d["t_2"], d["t_upper"], d["t_out"],
-        d["N_AB"], d["N_ABC"], d["r"], d["n_int_AB"], d["n_int_ABC"],
-        cut_AB=setup["norm_cut_ab"], cut_ABC=setup["norm_cut_abc"],
-    )
+    if setup.get("introgression"):
+        from itrails_tpu.introgression.builder import build_model_introgression
+
+        model = build_model_introgression(
+            d["t_A"], d["t_B"], d["t_C"], d["t_2"], d["t_upper"], d["t_out"],
+            d["t_m"], d["N_AB"], d["N_BC"], d["N_ABC"], d["r"], d["m"],
+            d["n_int_AB"], d["n_int_ABC"],
+            cut_AB=setup["norm_cut_ab"], cut_ABC=setup["norm_cut_abc"],
+        )
+    else:
+        model = build_model(
+            d["t_A"], d["t_B"], d["t_C"], d["t_2"], d["t_upper"], d["t_out"],
+            d["N_AB"], d["N_ABC"], d["r"], d["n_int_AB"], d["n_int_ABC"],
+            cut_AB=setup["norm_cut_ab"], cut_ABC=setup["norm_cut_abc"],
+        )
     cast = jnp.dtype(precision)
     a = model.a.astype(cast)
     pi = model.pi.astype(cast)

@@ -89,7 +89,12 @@ def update_best_model(best_model_yaml, optim_variables, current_optim_params,
     optim = {}
     for i, name in enumerate(optim_variables):
         v = float(current_optim_params[i])
-        optim[name] = v * mu if name == "r" else v / mu
+        if name == "r":
+            optim[name] = v * mu
+        elif name == "m":  # dimensionless admixture proportion
+            optim[name] = v
+        else:
+            optim[name] = v / mu
     data["optimized_parameters"] = optim
     data["results"]["log_likelihood"] = float(current_result)
     data["results"]["iteration"] = iteration

@@ -27,7 +27,7 @@ from itrails_tpu.config import update_best_model
 from itrails_tpu.core.model import build_model_fn
 from itrails_tpu.data.tokens import aggregation_matrix
 from itrails_tpu.hmm import decoders, sharding, windows
-from itrails_tpu.optim.cases import resolve_times
+from itrails_tpu.optim.cases import resolve_times, resolve_times_introgression
 
 __all__ = ["LoglikEngine", "optimizer", "write_list"]
 
@@ -44,7 +44,7 @@ class LoglikEngine:
     decode)."""
 
     def __init__(self, v_lst, n_int_AB, n_int_ABC, dtype="float64",
-                 mesh=None, max_window_len=None):
+                 mesh=None, max_window_len=None, introgression=False):
         self.mesh = sharding.data_mesh() if mesh is None else mesh
         n_dev = self.mesh.devices.size
         self.tokens, self.lengths, self.owner = windows.pack_windows(
@@ -54,7 +54,15 @@ class LoglikEngine:
         self.n_int_AB = n_int_AB
         self.n_int_ABC = n_int_ABC
         self.dtype = dtype
-        self._builder = build_model_fn(n_int_AB, n_int_ABC, dtype)
+        self.introgression = introgression
+        if introgression:
+            from itrails_tpu.introgression.builder import (
+                build_model_introgression_fn,
+            )
+
+            self._builder = build_model_introgression_fn(n_int_AB, n_int_ABC, dtype)
+        else:
+            self._builder = build_model_fn(n_int_AB, n_int_ABC, dtype)
         self._agg = jnp.asarray(aggregation_matrix())
         self._loglik = jax.jit(
             lambda a, bfull, pi, tokens: decoders.forward_loglik(a, bfull, pi, tokens)
@@ -65,12 +73,19 @@ class LoglikEngine:
         return int(self.lengths.sum())
 
     def loglik(self, params: dict) -> float:
-        a, b, pi, _, _ = self._builder(
-            params["t_A"], params["t_B"], params["t_C"], params["t_2"],
-            params["t_upper"], params["t_out"], params["N_AB"],
-            params["N_ABC"], params["r"],
-        )
-        dt = self.tokens.dtype  # noqa: F841  (tokens stay int32)
+        if self.introgression:
+            a, b, pi, _, _ = self._builder(
+                params["t_A"], params["t_B"], params["t_C"], params["t_2"],
+                params["t_upper"], params["t_out"], params["t_m"],
+                params["N_AB"], params["N_BC"], params["N_ABC"],
+                params["r"], params["m"],
+            )
+        else:
+            a, b, pi, _, _ = self._builder(
+                params["t_A"], params["t_B"], params["t_C"], params["t_2"],
+                params["t_upper"], params["t_out"], params["N_AB"],
+                params["N_ABC"], params["r"],
+            )
         cast = jnp.dtype(self.dtype)
         bfull = decoders.emission_table(b.astype(cast), self._agg.astype(cast))
         return float(self._loglik(a.astype(cast), bfull, pi.astype(cast), self.tokens))
@@ -89,30 +104,38 @@ def optimizer(
     maxiter=10000,
     dtype="float64",
     engine=None,
+    introgression=False,
 ):
-    """Run the outer optimization (reference optimizer.py:586-637).
+    """Run the outer optimization (reference optimizer.py:586-637,
+    int_optimizer.py:589-651).
 
     Returns the scipy result object.  ``res_name`` is the output
     path/prefix; ``<res_name>.optimization_history.csv`` and
-    ``<res_name>.best_model.yaml`` follow the reference contract.
+    ``<res_name>.best_model.yaml`` follow the reference contract (the int
+    family uses '_'-separated artifact names like the reference).
     """
     output_dir, output_prefix = os.path.split(res_name)
-    history = os.path.join(output_dir, f"{output_prefix}.optimization_history.csv")
-    best_model_yaml = os.path.join(output_dir, f"{output_prefix}.best_model.yaml")
+    sep = "_" if introgression else "."
+    history = os.path.join(
+        output_dir, f"{output_prefix}{sep}optimization_history.csv"
+    )
+    best_model_yaml = os.path.join(output_dir, f"{output_prefix}{sep}best_model.yaml")
     if header:
         write_list(["n_eval"] + list(optim_variables) + ["loglik", "time"], history)
 
     if engine is None:
         engine = LoglikEngine(
-            v_lst, fixed_params["n_int_AB"], fixed_params["n_int_ABC"], dtype=dtype
+            v_lst, fixed_params["n_int_AB"], fixed_params["n_int_ABC"],
+            dtype=dtype, introgression=introgression,
         )
     info = {"n_eval": 0, "t0": time.time()}
+    resolver = resolve_times_introgression if introgression else resolve_times
 
     def objective(arg_lst):
         d = dict(fixed_params)
         for name, value in zip(optim_variables, arg_lst):
             d[name] = float(value)
-        d = resolve_times(case, d)
+        d = resolver(case, d)
         ll = engine.loglik(d)
         write_list(
             [info["n_eval"]] + [float(v) for v in arg_lst]
