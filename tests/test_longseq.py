@@ -1,0 +1,36 @@
+"""Sequence-parallel forward vs the sequential decoder."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from itrails_tpu.data.tokens import aggregation_matrix
+from itrails_tpu.hmm import decoders
+from itrails_tpu.hmm.longseq import forward_loglik_long
+from tests.conftest import load_golden
+
+
+def _model():
+    m = load_golden("model_1x2.npz")
+    a = jnp.asarray(m["a"])
+    bfull = decoders.emission_table(jnp.asarray(m["b"]), aggregation_matrix())
+    return a, bfull, jnp.asarray(m["pi"])
+
+
+def test_long_forward_matches_sequential():
+    a, bfull, pi = _model()
+    rng = np.random.default_rng(5)
+    for t_len, chunk in ((1000, 64), (513, 128), (64, 256), (2, 16)):
+        tokens = jnp.asarray(rng.integers(0, 625, size=t_len), jnp.int32)
+        ll_long = float(forward_loglik_long(a, bfull, pi, tokens, chunk=chunk))
+        _, ll_seq = decoders.forward(a, bfull, pi, tokens[None])
+        np.testing.assert_allclose(ll_long, float(ll_seq[0]), rtol=1e-9,
+                                   err_msg=f"T={t_len} chunk={chunk}")
+
+
+def test_long_forward_handles_exact_multiple():
+    a, bfull, pi = _model()
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(0, 625, size=257), jnp.int32)  # 1+256
+    ll_long = float(forward_loglik_long(a, bfull, pi, tokens, chunk=256))
+    _, ll_seq = decoders.forward(a, bfull, pi, tokens[None])
+    np.testing.assert_allclose(ll_long, float(ll_seq[0]), rtol=1e-9)
