@@ -80,10 +80,27 @@ def read_maf(path, species):
         yield block
 
 
-def maf_tokens(path, species):
+def maf_tokens(path, species, prefer_native=True):
     """Token arrays (one int32 array per complete block) for the four
     species, in their given order (reference maf_parser, read_data.py:94-117:
-    blocks missing any species are skipped; gaps count as N)."""
+    blocks missing any species are skipped; gaps count as N).
+
+    Uses the native C++ streaming tokenizer when a toolchain is available
+    (itrails_tpu.native); the pure-Python path below is the portable
+    fallback and the semantic reference (they are parity-tested against
+    each other)."""
+    if prefer_native:
+        try:
+            from itrails_tpu import native
+
+            if native.available():
+                return list(native.maf_tokens_native(path, list(species)))
+        except Exception:
+            pass
+    return _maf_tokens_py(path, species)
+
+
+def _maf_tokens_py(path, species):
     global _TOKEN_LUT
     if _TOKEN_LUT is None:
         _TOKEN_LUT = _token_lut()
