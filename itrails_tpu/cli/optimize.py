@@ -27,6 +27,12 @@ def main(argv=None):
     parser.add_argument("--maxiter", type=int, default=10000)
     parser.add_argument("--precision", choices=["float32", "float64"],
                         default="float64")
+    parser.add_argument("--resume", action="store_true",
+                        help="Continue a previous run: restart from the "
+                             "best parameters in <output>.best_model.yaml "
+                             "and append to the optimization history.")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="Write a jax.profiler trace of the run to DIR.")
     args = parser.parse_args(argv)
 
     config = load_config(args.config_file)
@@ -38,18 +44,37 @@ def main(argv=None):
     settings["output_prefix"] = user_output
     settings["input_maf"] = maf_path
     species = settings["species_list"]
+    if settings.get("n_cpu"):
+        from itrails_tpu.utils.resources import update_n_cpu
 
-    write_starting_params(
-        os.path.join(output_dir, f"{output_prefix}.starting_params.yaml"),
-        setup["descaled_fixed"],
-        setup["descaled_bounds"],
-        settings,
-    )
-    seed_best_model(
-        os.path.join(output_dir, f"{output_prefix}.best_model.yaml"),
-        setup["descaled_fixed"],
-        settings,
-    )
+        update_n_cpu(settings["n_cpu"])
+
+    best_model_yaml = os.path.join(output_dir, f"{output_prefix}.best_model.yaml")
+    resume = args.resume and os.path.exists(best_model_yaml)
+    if resume:
+        # The best-model YAML is the checkpoint (reference README.md:36-40);
+        # restart the search from its parameters, keep history appending.
+        import yaml as _yaml
+
+        prev = _yaml.safe_load(open(best_model_yaml))
+        mu = setup["mu"]
+        prev_opt = prev.get("optimized_parameters") or {}
+        for i, name in enumerate(setup["optim_variables"]):
+            if name in prev_opt:
+                v = float(prev_opt[name])
+                setup["optim_list"][i] = (
+                    v / mu if name == "r" else v if name == "m" else v * mu
+                )
+        print(f"Resuming from {best_model_yaml} "
+              f"(loglik {prev['results']['log_likelihood']}).")
+    else:
+        write_starting_params(
+            os.path.join(output_dir, f"{output_prefix}.starting_params.yaml"),
+            setup["descaled_fixed"],
+            setup["descaled_bounds"],
+            settings,
+        )
+        seed_best_model(best_model_yaml, setup["descaled_fixed"], settings)
 
     print("Reading MAF alignment file.")
     v_lst = maf_tokens(maf_path, species)
@@ -59,18 +84,22 @@ def main(argv=None):
           f"{sum(len(v) for v in v_lst)} columns.")
 
     print("Running optimization...")
-    optimizer(
-        optim_variables=setup["optim_variables"],
-        optim_list=setup["optim_list"],
-        bounds=setup["bounds_list"],
-        fixed_params=setup["fixed_dict"],
-        v_lst=v_lst,
-        res_name=user_output,
-        case=setup["case"],
-        method=setup["method"],
-        maxiter=args.maxiter,
-        dtype=args.precision,
-    )
+    from itrails_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        optimizer(
+            optim_variables=setup["optim_variables"],
+            optim_list=setup["optim_list"],
+            bounds=setup["bounds_list"],
+            fixed_params=setup["fixed_dict"],
+            v_lst=v_lst,
+            res_name=user_output,
+            case=setup["case"],
+            method=setup["method"],
+            maxiter=args.maxiter,
+            dtype=args.precision,
+            header=not resume,
+        )
     print(
         f"Optimization complete. Results saved to "
         f"{os.path.join(output_dir, f'{output_prefix}.optimization_history.csv')}.\n"
