@@ -68,3 +68,38 @@ def tokenize_column(column: str) -> int:
         ch if ch in "ACTGN" else "N" for ch in column.upper().replace("-", "N")
     )
     return token_index()[clean]
+
+
+# --- 3-species ("new method") alphabet -------------------------------------
+# The reference carries an unused alternative observation model over
+# (species1, species2, outgroup) 3-mers: 64 unambiguous + 61 N-containing
+# = 125 tokens (read_data.py:27-43, 70-91; loglik wrappers at
+# optimizer.py:68-91).  Provided for feature parity.
+
+
+@functools.lru_cache(maxsize=1)
+def token_strings_3() -> list:
+    out = [a + b + d for a in ALPHABET for b in ALPHABET for d in ALPHABET]
+    ext = "ACTGN"
+    for a in ext:
+        for b in ext:
+            for d in ext:
+                s = a + b + d
+                if "N" in s:
+                    out.append(s)
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def aggregation_matrix_3() -> np.ndarray:
+    """(125, 64) ambiguity-resolution matrix for the 3-species alphabet."""
+    strings = token_strings_3()
+    agg = np.zeros((len(strings), 64), dtype=np.float64)
+    base_idx = {c: i for i, c in enumerate(ALPHABET)}
+    for t, s in enumerate(strings):
+        choices = [range(4) if ch == "N" else [base_idx[ch]] for ch in s]
+        for a in choices[0]:
+            for b in choices[1]:
+                for d in choices[2]:
+                    agg[t, (a * 4 + b) * 4 + d] = 1.0
+    return agg
