@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from itrails_tpu.core.linalg import solve
+
 __all__ = ["expm", "expm_batch"]
 
 _THETA13 = 5.371920351148152  # Pade-13 1-norm threshold (Higham 2008, Tab. 10.2)
@@ -77,7 +79,7 @@ def expm_batch(a: jnp.ndarray) -> jnp.ndarray:
         + b[2] * a2
         + b[0] * ident
     )
-    x = jnp.linalg.solve(v - u, v + u)
+    x = solve(v - u, v + u)
 
     def cond(state):
         k, _ = state
