@@ -98,30 +98,57 @@ def write_hidden_states(path, model, setup, first_interval_from_ab: bool):
     print(f"Hidden states written to file {path}.")
 
 
+# Blocks longer than this decode via the sequence-parallel path (the
+# window-batch scan is latency-bound at 1 window; see hmm/longseq.py).
+LONG_BLOCK_THRESHOLD = 262_144
+
+
+def _split_by_length(v_lst):
+    short = [(i, v) for i, v in enumerate(v_lst) if len(v) <= LONG_BLOCK_THRESHOLD]
+    long = [(i, v) for i, v in enumerate(v_lst) if len(v) > LONG_BLOCK_THRESHOLD]
+    return short, long
+
+
 def run_viterbi(a, bfull, pi, v_lst):
-    mesh = sharding.data_mesh()
-    tokens, lengths, owner = windows.pack_windows(
-        v_lst, pad_windows_to=mesh.devices.size
-    )
-    paths = np.asarray(
-        sharding.sharded_viterbi(a, bfull, pi, jnp.asarray(tokens), mesh)
-    )
-    return [
-        paths[w, : lengths[w]] for w in range(len(owner)) if owner[w] >= 0
-    ]
+    from itrails_tpu.hmm.longseq import viterbi_long
+
+    short, long = _split_by_length(v_lst)
+    out = [None] * len(v_lst)
+    if short:
+        mesh = sharding.data_mesh()
+        tokens, lengths, owner = windows.pack_windows(
+            [v for _, v in short], pad_windows_to=mesh.devices.size
+        )
+        paths = np.asarray(
+            sharding.sharded_viterbi(a, bfull, pi, jnp.asarray(tokens), mesh)
+        )
+        rows = [paths[w, : lengths[w]] for w in range(len(owner)) if owner[w] >= 0]
+        for (i, _), row in zip(short, rows):
+            out[i] = row
+    for i, v in long:
+        out[i] = viterbi_long(a, bfull, pi, jnp.asarray(v, jnp.int32))
+    return out
 
 
 def run_posterior(a, bfull, pi, v_lst):
-    mesh = sharding.data_mesh()
-    tokens, lengths, owner = windows.pack_windows(
-        v_lst, pad_windows_to=mesh.devices.size
-    )
-    post = np.asarray(
-        sharding.sharded_posterior(a, bfull, pi, jnp.asarray(tokens), mesh)
-    )  # (T, W, M)
-    return [
-        post[: lengths[w], w, :] for w in range(len(owner)) if owner[w] >= 0
-    ]
+    from itrails_tpu.hmm.longseq import posterior_long
+
+    short, long = _split_by_length(v_lst)
+    out = [None] * len(v_lst)
+    if short:
+        mesh = sharding.data_mesh()
+        tokens, lengths, owner = windows.pack_windows(
+            [v for _, v in short], pad_windows_to=mesh.devices.size
+        )
+        post = np.asarray(
+            sharding.sharded_posterior(a, bfull, pi, jnp.asarray(tokens), mesh)
+        )  # (T, W, M)
+        rows = [post[: lengths[w], w, :] for w in range(len(owner)) if owner[w] >= 0]
+        for (i, _), row in zip(short, rows):
+            out[i] = row
+    for i, v in long:
+        out[i] = np.asarray(posterior_long(a, bfull, pi, jnp.asarray(v, jnp.int32)))
+    return out
 
 
 def write_viterbi_csv(path, results, coords):

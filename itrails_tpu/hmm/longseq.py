@@ -29,7 +29,7 @@ from jax import lax
 
 from itrails_tpu.data.tokens import PAD_TOKEN
 
-__all__ = ["forward_loglik_long", "chunk_operators"]
+__all__ = ["forward_loglik_long", "posterior_long", "chunk_operators"]
 
 
 def chunk_operators(a, bfull, tokens, chunk: int):
@@ -71,6 +71,108 @@ def _combine(left, right):
     return g / z, zl + zr + jnp.log(z[..., 0, 0])
 
 
+def posterior_long(a, bfull, pi, tokens, chunk: int = 256):
+    """Exact posterior state probabilities for one long block, (T, M),
+    sequence-parallel (matches decoders.posterior to fp tolerance).
+
+    Strategy: chunk transfer operators in both directions over the "stream"
+    (columns 1..T-1; column 0 enters through ``alpha_0 = pi * e_0``);
+    exclusive prefix/suffix products give the alpha/beta vectors at chunk
+    boundaries; per-position values are then recomputed *batched across
+    chunks*, so the sequential depth is 2*chunk + O(log C).  The posterior's
+    per-position softmax cancels all rescaling constants, so no log
+    bookkeeping is needed.
+    """
+    t_len = tokens.shape[0]
+    m = a.shape[0]
+    first = tokens[0]
+    stream_len = t_len - 1
+    padded = max(((stream_len + chunk - 1) // chunk) * chunk, chunk)
+    stream = jnp.concatenate(
+        [tokens[1:], jnp.full((padded - stream_len,), PAD_TOKEN, tokens.dtype)]
+    )
+    c = padded // chunk
+    tok = stream.reshape(c, chunk)
+    eye1 = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), (1, m, m))
+
+    def norm(g):
+        z = jnp.maximum(jnp.max(g, axis=(-2, -1), keepdims=True),
+                        jnp.finfo(g.dtype).tiny)
+        return g / z
+
+    # ---- forward chunk operators G_c = prod_k (A diag(e_k)), rescaled ----
+    def fwd_op_step(g, t_col):
+        e = bfull.T[jnp.maximum(t_col, 0)]
+        new = norm((g @ a) * e[:, None, :])
+        g = jnp.where((t_col != PAD_TOKEN)[:, None, None], new, g)
+        return g, None
+
+    g0 = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), (c, m, m))
+    ops, _ = lax.scan(fwd_op_step, g0, tok.T)
+
+    def comb(l, r):
+        return norm(l @ r)
+
+    prefix = lax.associative_scan(comb, ops)
+    prefix_ex = jnp.concatenate([eye1, prefix[:-1]], axis=0)
+    alpha0 = pi * bfull.T[jnp.maximum(first, 0)]
+    alpha_entry = jnp.einsum("m,cmn->cn", alpha0, prefix_ex)  # (C, M)
+
+    # ---- backward chunk operators K_c = prod_k (A^T diag(e_k)) ----
+    # (column form of the reference's source-state backward contraction,
+    # decoders.backward: beta_t = A^T D_{t+1} beta_{t+1})
+    def bwd_op_step(g, t_col):
+        e = bfull.T[jnp.maximum(t_col, 0)]
+        new = norm(g @ (a.T * e[:, None, :]))
+        g = jnp.where((t_col != PAD_TOKEN)[:, None, None], new, g)
+        return g, None
+
+    kops, _ = lax.scan(bwd_op_step, g0, tok.T)
+    # suffix products S_c = K_c K_{c+1} ... K_{C-1}
+    suffix = lax.associative_scan(lambda l, r: norm(r @ l), kops[::-1])[::-1]
+    suffix_ex = jnp.concatenate([suffix[1:], eye1], axis=0)  # S_{c+1}
+    ones = jnp.ones((m,), a.dtype)
+    beta_exit = jnp.einsum("cmn,n->cm", suffix_ex, ones)  # (C, M)
+
+    # ---- per-position recompute, batched over chunks ----
+    def fwd_step(alpha, t_col):
+        e = bfull.T[jnp.maximum(t_col, 0)]
+        new = (alpha @ a) * e
+        z = jnp.maximum(jnp.max(new, axis=1, keepdims=True),
+                        jnp.finfo(new.dtype).tiny)
+        new = new / z
+        alpha = jnp.where((t_col != PAD_TOKEN)[:, None], new, alpha)
+        return alpha, alpha
+
+    _, alphas = lax.scan(fwd_step, alpha_entry, tok.T)  # (chunk, C, M)
+
+    def bwd_step(beta, t_col):
+        e = bfull.T[jnp.maximum(t_col, 0)]
+        new = (beta * e) @ a
+        z = jnp.maximum(jnp.max(new, axis=1, keepdims=True),
+                        jnp.finfo(new.dtype).tiny)
+        new = new / z
+        beta = jnp.where((t_col != PAD_TOKEN)[:, None], new, beta)
+        return beta, beta
+
+    _, betas_rev = lax.scan(bwd_step, beta_exit, tok.T[::-1])
+    betas = betas_rev[::-1]  # betas[k, c] = beta at position (c*chunk + k)
+
+    # assemble: alpha rows for positions 1..; prepend alpha_0
+    alpha_flat = alphas.transpose(1, 0, 2).reshape(-1, m)[: t_len - 1]
+    alpha_all = jnp.concatenate([alpha0[None], alpha_flat], axis=0)
+    # beta rows for positions 0..T-2; append beta_{T-1} = ones
+    beta_flat = betas.transpose(1, 0, 2).reshape(-1, m)[: t_len - 1]
+    beta_all = jnp.concatenate([beta_flat, jnp.ones((1, m), a.dtype)], axis=0)
+
+    post = jnp.log(jnp.maximum(alpha_all, jnp.finfo(a.dtype).tiny)) + jnp.log(
+        jnp.maximum(beta_all, jnp.finfo(a.dtype).tiny)
+    )
+    post = post - jnp.max(post, axis=1, keepdims=True)
+    post = jnp.exp(post)
+    return post / jnp.sum(post, axis=1, keepdims=True)
+
+
 def forward_loglik_long(a, bfull, pi, tokens, chunk: int = 256):
     """Log-likelihood of one long token sequence, sequence-parallel.
 
@@ -92,3 +194,77 @@ def forward_loglik_long(a, bfull, pi, tokens, chunk: int = 256):
     alpha0 = pi * bfull.T[jnp.maximum(first, 0)]
     total = jnp.sum(alpha0 @ g)
     return jnp.log(total) + z
+
+
+def viterbi_long(a, bfull, pi, tokens, chunk: int = 256):
+    """Exact Viterbi path for one long block, sequence-parallel.
+
+    Same chunked structure as :func:`posterior_long` in the (max, +)
+    semiring: chunk operators R_c[i,j] = max over within-chunk paths of the
+    summed log scores, combined with a max-plus associative scan; per-chunk
+    omega vectors are then recomputed batched across chunks while recording
+    backpointers, and the backtrack runs on the host.  Matches
+    decoders.viterbi exactly (same argmax tie-breaking: first index wins).
+
+    Memory: the (T, M) int32 backpointer table lives on device; for
+    chromosome-scale T split the sequence into segments first.
+    """
+    import numpy as np
+
+    t_len = tokens.shape[0]
+    m = a.shape[0]
+    neg = jnp.asarray(jnp.finfo(a.dtype).min / 4, a.dtype)
+    log_a = jnp.log(a)
+    log_b = jnp.log(bfull.T)
+
+    first = tokens[0]
+    stream_len = t_len - 1
+    padded = max(((stream_len + chunk - 1) // chunk) * chunk, chunk)
+    stream = jnp.concatenate(
+        [tokens[1:], jnp.full((padded - stream_len,), PAD_TOKEN, tokens.dtype)]
+    )
+    c = padded // chunk
+    tok = stream.reshape(c, chunk)
+
+    def mp_matmul(l, r):
+        # max-plus product, batched: out[., i, j] = max_k l[., i, k] + r[., k, j]
+        return jnp.max(l[..., :, :, None] + r[..., None, :, :], axis=-2)
+
+    def op_step(g, t_col):
+        e = log_b[jnp.maximum(t_col, 0)]  # (C, M)
+        step_op = log_a[None] + e[:, None, :]
+        new = mp_matmul(g, step_op)
+        return jnp.where((t_col != PAD_TOKEN)[:, None, None], new, g), None
+
+    g0 = jnp.broadcast_to(
+        jnp.where(jnp.eye(m, dtype=bool), 0.0, neg).astype(a.dtype), (c, m, m)
+    )
+    ops, _ = lax.scan(op_step, g0, tok.T)
+    prefix = lax.associative_scan(mp_matmul, ops)
+    prefix_ex = jnp.concatenate([g0[:1], prefix[:-1]], axis=0)
+    omega0 = jnp.log(pi) + log_b[jnp.maximum(first, 0)]
+    omega_entry = jnp.max(omega0[None, :, None] + prefix_ex, axis=1)  # (C, M)
+
+    def rec_step(omega, t_col):
+        e = log_b[jnp.maximum(t_col, 0)]
+        scores = omega[:, :, None] + log_a[None] + e[:, None, :]
+        ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        new = jnp.max(scores, axis=1)
+        pad = (t_col == PAD_TOKEN)[:, None]
+        ident = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], ptr.shape)
+        return (
+            jnp.where(pad, omega, new),
+            (jnp.where(pad, ident, ptr), jnp.where(pad, omega, new)),
+        )
+
+    omega_last, (ptrs, omegas) = lax.scan(rec_step, omega_entry, tok.T)
+    # flatten to stream order: (T-1, M)
+    ptrs = np.asarray(ptrs.transpose(1, 0, 2).reshape(-1, m)[:stream_len])
+    omegas = np.asarray(omegas.transpose(1, 0, 2).reshape(-1, m)[:stream_len])
+
+    final_omega = omegas[-1] if stream_len else np.asarray(omega0)
+    path = np.empty(t_len, dtype=np.int32)
+    path[-1] = int(np.argmax(final_omega))
+    for t in range(t_len - 2, -1, -1):
+        path[t] = ptrs[t][path[t + 1]]
+    return path

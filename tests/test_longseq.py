@@ -34,3 +34,29 @@ def test_long_forward_handles_exact_multiple():
     ll_long = float(forward_loglik_long(a, bfull, pi, tokens, chunk=256))
     _, ll_seq = decoders.forward(a, bfull, pi, tokens[None])
     np.testing.assert_allclose(ll_long, float(ll_seq[0]), rtol=1e-9)
+
+
+def test_posterior_long_matches_sequential():
+    from itrails_tpu.hmm.longseq import posterior_long
+
+    a, bfull, pi = _model()
+    rng = np.random.default_rng(9)
+    for t_len, chunk in ((700, 64), (256, 64), (129, 128)):
+        tokens = jnp.asarray(rng.integers(0, 625, size=t_len), jnp.int32)
+        post_long = np.asarray(posterior_long(a, bfull, pi, tokens, chunk=chunk))
+        post_seq = np.asarray(decoders.posterior(a, bfull, pi, tokens[None]))[:, 0, :]
+        np.testing.assert_allclose(post_long, post_seq, rtol=5e-6, atol=1e-9,
+                                   err_msg=f"T={t_len} chunk={chunk}")
+
+
+def test_viterbi_long_matches_sequential():
+    from itrails_tpu.hmm.longseq import viterbi_long
+
+    a, bfull, pi = _model()
+    rng = np.random.default_rng(11)
+    for t_len, chunk in ((500, 64), (257, 128), (64, 64)):
+        tokens = jnp.asarray(rng.integers(0, 625, size=t_len), jnp.int32)
+        path_long = viterbi_long(a, bfull, pi, tokens, chunk=chunk)
+        path_seq = np.asarray(decoders.viterbi(a, bfull, pi, tokens[None]))[0]
+        np.testing.assert_array_equal(path_long, path_seq,
+                                      err_msg=f"T={t_len} chunk={chunk}")

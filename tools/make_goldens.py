@@ -302,6 +302,44 @@ def _write_synthetic_maf(path, seed=11):
         f.write("\n")
 
 
+def golden_integrands():
+    """Dense-grid fixtures for the JC69 closed-form coalescence integrals
+    (the trickiest transcription in the rebuild, SURVEY.md section 7)."""
+    from itrails.get_emission_prob_mat import (
+        JC69_analytical_integral,
+        JC69_analytical_integral_double,
+    )
+
+    ts = np.array([0.01, 0.12, 0.4, 0.9, 2.0])
+    mus = np.array([1e-4, 6.7e-4, 5e-3, 0.05])
+    ks = np.array([0.3, 1.0, 3.7, 40.0])
+    nucs = [(0, 0, 0, 0), (0, 1, 2, 3), (1, 1, 0, 2), (3, 2, 3, 2)]
+    single = np.zeros((len(nucs), len(ts), len(mus), len(ks)))
+    for ni, (a, b, c, d) in enumerate(nucs):
+        for ti, t in enumerate(ts):
+            for mi, mu in enumerate(mus):
+                for ki, k in enumerate(ks):
+                    single[ni, ti, mi, ki] = JC69_analytical_integral(
+                        a, b, c, d, t, mu, k
+                    )
+    nucs6 = [(0, 0, 0, 0, 0, 0), (0, 1, 2, 3, 1, 2), (2, 2, 1, 0, 2, 0),
+             (3, 0, 3, 0, 3, 0)]
+    double = np.zeros((len(nucs6), len(ts), len(mus)))
+    for ni, (a, b, c, d, e, f) in enumerate(nucs6):
+        for ti, t in enumerate(ts):
+            for mi, mu in enumerate(mus):
+                double[ni, ti, mi] = JC69_analytical_integral_double(
+                    a, b, c, d, e, f, t, mu
+                )
+    np.savez(
+        os.path.join(GOLDENS, "integrands.npz"),
+        ts=ts, mus=mus, ks=ks,
+        nucs=np.array(nucs), nucs6=np.array(nucs6),
+        single=single, double=double,
+    )
+    print("integrands.npz written")
+
+
 def golden_maf():
     maf_path = os.path.join(GOLDENS, "synthetic.maf")
     _write_synthetic_maf(maf_path)
@@ -330,6 +368,8 @@ def main():
 
     if want("maf"):
         golden_maf()
+    if want("integrands"):
+        golden_integrands()
     if want("int"):
         golden_int(INT_PARAMS, 1, 2, "1x2")
         if not args.quick:
