@@ -86,6 +86,27 @@ def main():
     dt = float(np.median(times))
     cols_per_sec = n_cols / dt
 
+    # full optimizer-evaluation wall clock: model rebuild + likelihood.
+    # Reuses the already-compiled batch shape (33.5M columns >> the 1 Mb of
+    # BASELINE config 2, so this upper-bounds that config's per-eval cost).
+    mb_tokens = bufs[0]
+    t0 = time.time()
+    model2 = build_model(
+        t_A=0.002411, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
+        t_out=0.009312, N_AB=0.000501, N_ABC=0.0005, r=1.0,
+        n_int_AB=3, n_int_ABC=3, dtype="float64", device="cpu",
+    )
+    a2 = jax.device_put(jnp.asarray(model2.a, cast), dev)
+    pi2 = jax.device_put(jnp.asarray(model2.pi, cast), dev)
+    bfull2 = jax.device_put(
+        decoders.emission_table(
+            jnp.asarray(model2.b, cast), jnp.asarray(aggregation_matrix(), cast)
+        ),
+        dev,
+    )
+    ll2 = float(fwd(a2, bfull2, pi2, mb_tokens))
+    optimizer_eval_s = time.time() - t0
+
     print(json.dumps({
         "metric": "alignment columns/sec/chip (3-species HMM forward, M=27)",
         "value": round(cols_per_sec, 1),
@@ -96,6 +117,7 @@ def main():
         "loglik": ll,
         "model_build_s_first": round(build_first_s, 3),
         "model_build_s_cached": round(build_eval_s, 3),
+        "optimizer_eval_s_1mb": round(optimizer_eval_s, 3),
     }))
 
 

@@ -16,17 +16,37 @@ used directly.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["solve"]
+__all__ = ["solve", "native_solves"]
 
 _REFINE_STEPS = 3
+
+# jax.default_backend() ignores jax.default_device contexts, so callers that
+# place a computation on the host CPU inside a TPU-default process set this
+# trace-time flag instead (see core.model.build_model_fn).
+_NATIVE = contextvars.ContextVar("itrails_native_solves", default=None)
+
+
+@contextlib.contextmanager
+def native_solves(enabled: bool = True):
+    token = _NATIVE.set(enabled)
+    try:
+        yield
+    finally:
+        _NATIVE.reset(token)
 
 
 def solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """``solve(a, b)`` with f64 accuracy on every backend."""
-    if a.dtype != jnp.float64 or jax.default_backend() == "cpu":
+    native = _NATIVE.get()
+    if native is None:
+        native = jax.default_backend() == "cpu"
+    if a.dtype != jnp.float64 or native:
         return jnp.linalg.solve(a, b)
     a32 = a.astype(jnp.float32)
     lu, piv = jax.scipy.linalg.lu_factor(a32)

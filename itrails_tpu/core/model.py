@@ -123,9 +123,11 @@ def build_model_fn(n_int_AB: int, n_int_ABC: int, dtype_name: str = "float64",
     if device is not None:
         dev = jax.devices(device)[0]
 
-        def wrapped(*args):
-            with jax.default_device(dev):
-                return jax.jit(fn)(*args)
+        def wrapped(*args, **kwargs):
+            from itrails_tpu.core.linalg import native_solves
+
+            with jax.default_device(dev), native_solves(device == "cpu"):
+                return jax.jit(fn)(*args, **kwargs)
 
         return wrapped
     return jax.jit(fn)

@@ -78,7 +78,9 @@ def build_model_introgression_fn(n_int_AB: int, n_int_ABC: int,
         dev = jax.devices(device)[0]
 
         def wrapped(*args, **kwargs):
-            with jax.default_device(dev):
+            from itrails_tpu.core.linalg import native_solves
+
+            with jax.default_device(dev), native_solves(device == "cpu"):
                 return jax.jit(fn)(*args, **kwargs)
 
         return wrapped
