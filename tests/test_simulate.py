@@ -59,3 +59,53 @@ def test_viterbi_recovers_hidden_path_better_than_chance():
     path = np.asarray(decoders.viterbi(a, bfull, pi, jnp.asarray(tokens[None], jnp.int32)))[0]
     accuracy = float((path == states).mean())
     assert accuracy > 2.0 / len(model.pi)  # far better than uniform chance
+
+
+def test_parameter_recovery_optimize(tmp_path):
+    """Simulate from known parameters, fit with the real optimizer, and
+    check the likelihood improves substantially from a deliberately wrong
+    start and the fitted N_AB moves toward the truth."""
+    import csv
+
+    import yaml
+
+    from itrails_tpu.cli.optimize import main
+
+    true_model = build_model(n_int_AB=1, n_int_ABC=2, **TRUE)
+    maf = tmp_path / "sim.maf"
+    simulate_maf(maf, true_model, SPECIES, n_blocks=4, block_len=10_000, seed=7)
+
+    cfg = {
+        "fixed_parameters": {
+            "mu": 1e-8,
+            # truth (mu-descaled): t_1=240000, t_2=40000
+            "t_2": 40000,
+            "t_upper": 745069.0,
+            "t_out": 931200,
+            "N_AB": 50000,
+            "N_ABC": 50000,
+            "r": 1e-8,
+        },
+        # start the speciation time at half the truth (240000)
+        "optimized_parameters": {"t_1": [120000, 24000, 2400000]},
+        "settings": {
+            "input_maf": str(maf),
+            "output_prefix": None,
+            "species_list": SPECIES,
+            "n_int_AB": 1,
+            "n_int_ABC": 2,
+            "method": "Nelder-Mead",
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out = tmp_path / "fit" / "run"
+    main([str(cfg_path), "--output", str(out), "--maxiter", "25"])
+
+    hist = list(csv.reader(open(tmp_path / "fit" / "run.optimization_history.csv")))
+    logliks = [float(r[-2]) for r in hist[1:]]
+    assert max(logliks) > logliks[0] + 30.0  # improved from the wrong start
+    best = yaml.safe_load(open(tmp_path / "fit" / "run.best_model.yaml"))
+    fitted = best["optimized_parameters"]["t_1"]
+    assert abs(fitted - 240000) < abs(120000 - 240000)  # moved toward truth
