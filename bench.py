@@ -75,7 +75,7 @@ def main():
         for _ in range(reps + 1)
     ]
 
-    fwd = jax.jit(decoders.forward_loglik)
+    fwd = jax.jit(decoders.forward_loglik_fast)
     ll = float(fwd(a, bfull, pi, bufs[0]))  # compile + warm up
 
     times = []

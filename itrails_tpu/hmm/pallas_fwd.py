@@ -1,0 +1,188 @@
+"""Fused Pallas TPU kernel for the HMM forward log-likelihood.
+
+Why a kernel: the XLA ``lax.scan`` decoder (hmm.decoders.forward) spends
+~2/3 of its time in the per-step emission *gather* ``bfull.T[tokens_t]`` —
+TPUs have no vector gather, so XLA lowers it to a slow per-element loop —
+and the rest streaming the (W, M) alpha carry through HBM every step.
+This kernel removes both costs:
+
+* the token -> emission-row lookup runs on the MXU as a one-hot matmul.
+  The (K=640, BW) one-hot is built in VMEM from an iota compare and is
+  consumed immediately — it never touches HBM.  The emission table is
+  split ``bt = hi(bf16) + lo(bf16)`` and both halves are packed into one
+  (2*Mp, 640) LHS so a single bf16 matmul with f32 accumulation
+  reconstructs the f32 table to ~2^-16 relative error;
+* the alpha carry lives in a VMEM scratch that persists across the
+  sequential grid, so per-step HBM traffic is 4 bytes/column (the token).
+
+The recurrence is the Rabiner-scaled linear-space forward (alpha
+renormalised to sum 1 every step, log-norms accumulated), which is
+algebraically identical to the reference's max-shift log-space recursion
+(reference optimizer.py:165-188) but needs one log per *window* per step
+instead of two exp/log sweeps over (W, M).
+
+Layout is transposed (states on sublanes, windows on lanes) so the
+per-step token slice is a cheap dynamic sublane index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from itrails_tpu.data.tokens import PAD_TOKEN
+
+__all__ = ["forward_loglik_fused", "forward_fused", "supported"]
+
+_K = 625  # alphabet size
+_KP = 640  # padded to a lane multiple
+
+
+def supported(platform: str | None = None) -> bool:
+    """True when the fused kernel can run compiled (TPU backend)."""
+    if platform is None:
+        platform = jax.default_backend()
+    return platform == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
+            ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        al_s[:] = al0_ref[:]
+        acc_s[:] = acc0_ref[:]
+
+    btcat = btcat_ref[:]  # (2*Mp, KP) bf16
+    at = at_ref[:]  # (Mp, Mp) f32, transition transposed
+
+    bw = tok_ref.shape[1]
+    kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+
+    def step(t, carry):
+        al, acc = carry
+        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        oh = (tok == kio).astype(jnp.bfloat16)  # (KP, BW)
+        e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
+        e = e2[:mp] + e2[mp:]  # (Mp, BW) ~f32 emission rows
+        nx = jnp.dot(at, al, preferred_element_type=jnp.float32) * e
+        s = jnp.sum(nx, axis=0, keepdims=True)  # (1, BW)
+        pad = tok == PAD_TOKEN
+        snz = jnp.where(pad, 1.0, s)
+        al = jnp.where(pad, al, nx / snz)
+        acc = acc + jnp.where(pad, 0.0, jnp.log(snz))
+        return al, acc
+
+    # int32 bounds keep the induction variable i32 under jax_enable_x64
+    # (an i64 index fails Mosaic legalization)
+    al, acc = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(chunk_t), step, (al_s[:], acc_s[:])
+    )
+    al_s[:] = al
+    acc_s[:] = acc
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        ll_ref[:] = acc_s[:]
+        alf_ref[:] = al_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_w", "chunk_t", "interpret")
+)
+def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
+                  chunk_t: int = 128, interpret: bool = False):
+    """Scaled-linear forward pass.
+
+    Args:
+      a: (M, M) row-stochastic transition matrix.
+      bfull: (M, 625) emission table over the full alphabet.
+      pi: (M,) initial distribution.
+      tokens: (W, T) int32, right-padded with PAD_TOKEN.
+
+    Returns:
+      (alpha, loglik): alpha (W, M) — the *normalised* linear-space final
+      state distribution (sum 1 per window) — and loglik (W,) per-window
+      log-likelihoods.  ``log alpha_unnorm = log(alpha) + loglik[:, None]``
+      recovers the log-space alpha of decoders.forward.
+    """
+    m = a.shape[0]
+    w, t_len = tokens.shape
+    mp = _round_up(max(m, 8), 8)
+    f32 = jnp.float32
+
+    # padded, transposed model tensors
+    at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
+    bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
+    bt_hi = bt.astype(jnp.bfloat16)
+    bt_lo = (bt - bt_hi.astype(f32)).astype(jnp.bfloat16)
+    btcat = jnp.concatenate([bt_hi, bt_lo], axis=0)  # (2Mp, KP)
+
+    bw = min(block_w, _round_up(w, 128))
+    wp = _round_up(w, bw)
+
+    # step 0 on the XLA side (one cheap (W,) gather), steps 1..T-1 fused
+    tok0 = tokens[:, 0]
+    e0 = bfull.T.astype(f32)[jnp.maximum(tok0, 0)]  # (W, M)
+    e0 = jnp.where((tok0 == PAD_TOKEN)[:, None], jnp.ones_like(e0), e0)
+    al0 = pi[None, :].astype(f32) * e0
+    s0 = jnp.sum(al0, axis=1)
+    al0 = al0 / s0[:, None]
+    acc0 = jnp.log(s0)
+    al0_p = jnp.zeros((mp, wp), f32).at[:m, :w].set(al0.T)
+    al0_p = al0_p.at[0, w:].set(1.0)  # pad windows: valid distribution
+    acc0_p = jnp.zeros((1, wp), f32).at[0, :w].set(acc0)
+
+    tc = chunk_t
+    rest = tokens[:, 1:]
+    tp = max(_round_up(rest.shape[1], tc), tc)
+    tok_t = jnp.full((tp, wp), PAD_TOKEN, jnp.int32)
+    tok_t = tok_t.at[: rest.shape[1], :w].set(rest.T.astype(jnp.int32))
+
+    grid = (wp // bw, tp // tc)
+    # NB: index maps return i*0 (not the literal 0) so the constant stays
+    # int32 under jax_enable_x64 — an i64 index fails Mosaic legalization.
+    zi = lambda i, j: (i * 0, i)  # noqa: E731
+    zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
+    ll, alf = pl.pallas_call(
+        functools.partial(_kernel, mp=mp, chunk_t=tc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tc, bw), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, wp), f32),
+            jax.ShapeDtypeStruct((mp, wp), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((mp, bw), f32),
+            pltpu.VMEM((1, bw), f32),
+        ],
+        interpret=interpret,
+    )(tok_t, al0_p, acc0_p, btcat, at)
+    return alf[:m, :w].T, ll[0, :w]
+
+
+def forward_loglik_fused(a, bfull, pi, tokens, **kw):
+    """Total log-likelihood of a (W, T) token batch via the fused kernel."""
+    _, ll = forward_fused(a, bfull, pi, tokens, **kw)
+    return jnp.sum(ll)

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from itrails_tpu.hmm import decoders
 
 __all__ = ["data_mesh", "shard_batch", "sharded_forward_loglik",
-           "sharded_posterior", "sharded_viterbi"]
+           "sharded_loglik_fn", "sharded_posterior", "sharded_viterbi"]
 
 
 def data_mesh(devices=None) -> Mesh:
@@ -40,6 +40,28 @@ def shard_batch(tokens, mesh: Mesh):
 @functools.partial(jax.jit, static_argnames=())
 def _loglik(a, bfull, pi, tokens):
     return decoders.forward_loglik(a, bfull, pi, tokens)
+
+
+def sharded_loglik_fn(mesh: Mesh):
+    """Jitted (a, bfull, pi, tokens) -> total loglik, explicitly shard_mapped
+    over the 'data' axis.  Each device decodes its local window shard with
+    the fastest available kernel (the fused Pallas forward on TPU,
+    hmm.pallas_fwd) and the scalar sums merge with one psum over ICI."""
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None)), out_specs=P(),
+        # pallas_call out_shapes carry no vma metadata; the body is a plain
+        # per-shard map + psum, so the varying-mesh-axes check adds nothing
+        check_vma=False,
+    )
+    def f(a, bfull, pi, tokens):
+        return jax.lax.psum(
+            decoders.forward_loglik_fast(a, bfull, pi, tokens), "data"
+        )
+
+    return f
 
 
 def sharded_forward_loglik(a, bfull, pi, tokens, mesh: Mesh):

@@ -64,9 +64,7 @@ class LoglikEngine:
         else:
             self._builder = build_model_fn(n_int_AB, n_int_ABC, dtype)
         self._agg = jnp.asarray(aggregation_matrix())
-        self._loglik = jax.jit(
-            lambda a, bfull, pi, tokens: decoders.forward_loglik(a, bfull, pi, tokens)
-        )
+        self._loglik = sharding.sharded_loglik_fn(self.mesh)
 
     @property
     def n_columns(self) -> int:

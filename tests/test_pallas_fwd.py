@@ -1,0 +1,65 @@
+"""Parity tests for the fused Pallas forward kernel (interpret mode on CPU).
+
+The kernel's scaled-linear recurrence and bf16 hi+lo emission split must
+reproduce the log-space scan decoder (hmm.decoders.forward) to f32 noise.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from itrails_tpu.data.tokens import PAD_TOKEN
+from itrails_tpu.hmm import decoders, pallas_fwd
+
+
+def _random_model(m, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.random((m, m))
+    a /= a.sum(1, keepdims=True)
+    bfull = rng.random((m, 625)) * 0.01 + 1e-4
+    pi = rng.random(m)
+    pi /= pi.sum()
+    return (
+        jnp.asarray(a, jnp.float32),
+        jnp.asarray(bfull, jnp.float32),
+        jnp.asarray(pi, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("m", [27, 133])
+def test_fused_forward_matches_scan(m):
+    a, bfull, pi = _random_model(m)
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, 625, size=(4, 61)), jnp.int32)
+    alpha_ref, ll_ref = decoders.forward(a, bfull, pi, tokens)
+    al, ll = pallas_fwd.forward_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), atol=2e-4)
+    log_alpha = jnp.log(al) + ll[:, None]
+    np.testing.assert_allclose(
+        np.asarray(log_alpha), np.asarray(alpha_ref), atol=2e-4
+    )
+
+
+def test_fused_forward_respects_padding():
+    a, bfull, pi = _random_model(27, seed=2)
+    rng = np.random.default_rng(3)
+    tokens = np.asarray(rng.integers(0, 625, size=(3, 40)), np.int32)
+    tokens[1, 25:] = PAD_TOKEN
+    tokens[2, 7:] = PAD_TOKEN
+    _, ll_ref = decoders.forward(a, bfull, pi, jnp.asarray(tokens))
+    _, ll = pallas_fwd.forward_fused(
+        a, bfull, pi, jnp.asarray(tokens), block_w=128, chunk_t=8,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), atol=2e-4)
+
+
+def test_fast_dispatch_cpu_falls_back():
+    a, bfull, pi = _random_model(27, seed=4)
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, 625, size=(2, 33)), jnp.int32)
+    ll_fast = float(decoders.forward_loglik_fast(a, bfull, pi, tokens))
+    ll_ref = float(decoders.forward_loglik(a, bfull, pi, tokens))
+    np.testing.assert_allclose(ll_fast, ll_ref, rtol=1e-6)
