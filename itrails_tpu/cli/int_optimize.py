@@ -19,9 +19,15 @@ def main(argv=None):
     )
     parser.add_argument("--version", action="version",
                         version=f"%(prog)s {__version__}")
-    parser.add_argument("--maxiter", type=int, default=10000)
+    parser.add_argument("--maxiter", type=int, default=None,
+                        help="Optimizer iteration cap (overrides the "
+                             "settings.maxiter config key; default 10000).")
     parser.add_argument("--precision", choices=["float32", "float64"],
                         default="float64")
+    parser.add_argument("--grad", action="store_true",
+                        help="Use exact gradients (reverse-mode AD) with a "
+                             "gradient-based scipy method; implies L-BFGS-B "
+                             "unless settings.method says otherwise.")
     args = parser.parse_args(argv)
 
     config = load_config(args.config_file)
@@ -54,10 +60,13 @@ def main(argv=None):
         v_lst=v_lst,
         res_name=user_output,
         case=setup["case"],
-        method=setup["method"],
-        maxiter=args.maxiter,
+        method=("L-BFGS-B" if args.grad and setup["method"] == "Nelder-Mead"
+                else setup["method"]),
+        maxiter=(args.maxiter if args.maxiter is not None
+                 else int(settings.get("maxiter") or 10000)),
         dtype=args.precision,
         introgression=True,
+        use_grad=args.grad,
     )
     print("Optimization complete.")
 

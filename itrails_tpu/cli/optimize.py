@@ -24,9 +24,17 @@ def main(argv=None):
     )
     parser.add_argument("--version", action="version",
                         version=f"%(prog)s {__version__}")
-    parser.add_argument("--maxiter", type=int, default=10000)
+    parser.add_argument("--maxiter", type=int, default=None,
+                        help="Optimizer iteration cap (overrides the "
+                             "settings.maxiter config key; default 10000).")
     parser.add_argument("--precision", choices=["float32", "float64"],
                         default="float64")
+    parser.add_argument("--grad", action="store_true",
+                        help="Use exact gradients (reverse-mode AD through "
+                             "the model build and decode) with a "
+                             "gradient-based scipy method; implies "
+                             "L-BFGS-B unless settings.method says "
+                             "otherwise.")
     parser.add_argument("--resume", action="store_true",
                         help="Continue a previous run: restart from the "
                              "best parameters in <output>.best_model.yaml "
@@ -95,10 +103,14 @@ def main(argv=None):
             v_lst=v_lst,
             res_name=user_output,
             case=setup["case"],
-            method=setup["method"],
-            maxiter=args.maxiter,
+            method=("L-BFGS-B" if args.grad
+                    and setup["method"] == "Nelder-Mead"
+                    else setup["method"]),
+            maxiter=(args.maxiter if args.maxiter is not None
+                     else int(settings.get("maxiter") or 10000)),
             dtype=args.precision,
             header=not resume,
+            use_grad=args.grad,
         )
     print(
         f"Optimization complete. Results saved to "

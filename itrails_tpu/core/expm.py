@@ -47,8 +47,20 @@ def _one_norm(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.sum(jnp.abs(a), axis=-2), axis=-1)
 
 
+@jax.custom_vjp
 def expm_batch(a: jnp.ndarray) -> jnp.ndarray:
-    """Matrix exponential of a batch of square matrices ``(..., n, n)``."""
+    """Matrix exponential of a batch of square matrices ``(..., n, n)``.
+
+    Reverse-differentiable: the squaring phase is a ``lax.while_loop`` (not
+    AD-friendly), so the VJP is supplied analytically via the Frechet
+    derivative of expm — ``L(A, E) = expm([[A, E], [0, A]])[:n, n:]`` and
+    the adjoint identity ``vjp(A, G) = L(A^T, G)`` (Higham 2008, §10.6) —
+    one 2n x 2n exponential per cotangent.
+    """
+    return _expm_impl(a)
+
+
+def _expm_impl(a: jnp.ndarray) -> jnp.ndarray:
     b = _B13
     dtype = a.dtype
     n = a.shape[-1]
@@ -93,6 +105,23 @@ def expm_batch(a: jnp.ndarray) -> jnp.ndarray:
 
     _, x = lax.while_loop(cond, body, (jnp.zeros(batch_shape, jnp.int32), x))
     return x
+
+
+def _expm_fwd(a):
+    return _expm_impl(a), a
+
+
+def _expm_bwd(a, g):
+    n = a.shape[-1]
+    at = jnp.swapaxes(a, -1, -2)
+    blk = jnp.zeros(a.shape[:-2] + (2 * n, 2 * n), a.dtype)
+    blk = blk.at[..., :n, :n].set(at)
+    blk = blk.at[..., n:, n:].set(at)
+    blk = blk.at[..., :n, n:].set(g)
+    return (_expm_impl(blk)[..., :n, n:],)
+
+
+expm_batch.defvjp(_expm_fwd, _expm_bwd)
 
 
 def expm(a: jnp.ndarray) -> jnp.ndarray:

@@ -70,6 +70,67 @@ class LoglikEngine:
     def n_columns(self) -> int:
         return int(self.lengths.sum())
 
+    def loglik_and_grad_fn(self, optim_variables, fixed_params, case,
+                           resolver):
+        """Callable ``vec -> (loglik, dloglik/dvec)`` with exact gradients:
+        value+grad of the decode w.r.t. (a, bfull, pi) on the accelerator
+        mesh, chained through a CPU-f64 ``jax.vjp`` of the model build and
+        the (differentiable) case algebra.  The reference has no gradient
+        path at all — its L-BFGS-B uses finite differences."""
+        from itrails_tpu.core.linalg import native_solves
+        from itrails_tpu.hmm import grad as hmm_grad
+
+        if self.introgression:
+            from itrails_tpu.introgression.builder import (
+                build_model_introgression_fn,
+            )
+
+            pure_build = build_model_introgression_fn(
+                self.n_int_AB, self.n_int_ABC, self.dtype, device=None
+            )
+            arg_names = ["t_A", "t_B", "t_C", "t_2", "t_upper", "t_out",
+                         "t_m", "N_AB", "N_BC", "N_ABC", "r", "m"]
+        else:
+            pure_build = build_model_fn(
+                self.n_int_AB, self.n_int_ABC, self.dtype, device=None
+            )
+            arg_names = ["t_A", "t_B", "t_C", "t_2", "t_upper", "t_out",
+                         "N_AB", "N_ABC", "r"]
+
+        cpu = jax.devices("cpu")[0]
+        cast = jnp.dtype(self.dtype)
+        agg = self._agg
+        decode_vg = hmm_grad.decode_value_and_grad_fn(self.mesh)
+
+        def build_from_vec(vec):
+            d = dict(fixed_params)
+            for name, v in zip(optim_variables, vec):
+                d[name] = v
+            d = resolver(case, d)
+            a, b, pi, _, _ = pure_build(*[d[n] for n in arg_names])
+            return a, b, pi
+
+        def f(vec_np):
+            vec = jnp.asarray(np.asarray(vec_np, np.float64))
+            with jax.default_device(cpu), native_solves(True):
+                (a, b, pi), build_vjp = jax.vjp(build_from_vec, vec)
+            bfull = decoders.emission_table(b.astype(cast), agg.astype(cast))
+            ll, (da, dbfull, dpi) = decode_vg(
+                a.astype(cast), bfull.astype(cast), pi.astype(cast),
+                self.tokens,
+            )
+            db = jnp.asarray(dbfull, jnp.float64) @ jnp.asarray(
+                agg, jnp.float64
+            )
+            with jax.default_device(cpu), native_solves(True):
+                (gvec,) = build_vjp(
+                    (jnp.asarray(da, jnp.float64), db,
+                     jnp.asarray(dpi, jnp.float64))
+                )
+            return float(ll), np.asarray(gvec, np.float64)
+
+        return f
+
     def loglik(self, params: dict) -> float:
         if self.introgression:
             a, b, pi, _, _ = self._builder(
@@ -103,6 +164,7 @@ def optimizer(
     dtype="float64",
     engine=None,
     introgression=False,
+    use_grad=False,
 ):
     """Run the outer optimization (reference optimizer.py:586-637,
     int_optimizer.py:589-651).
@@ -129,12 +191,7 @@ def optimizer(
     info = {"n_eval": 0, "t0": time.time()}
     resolver = resolve_times_introgression if introgression else resolve_times
 
-    def objective(arg_lst):
-        d = dict(fixed_params)
-        for name, value in zip(optim_variables, arg_lst):
-            d[name] = float(value)
-        d = resolver(case, d)
-        ll = engine.loglik(d)
+    def _record(arg_lst, ll):
         write_list(
             [info["n_eval"]] + [float(v) for v in arg_lst]
             + [ll, time.time() - info["t0"]],
@@ -144,7 +201,42 @@ def optimizer(
             update_best_model(best_model_yaml, optim_variables, arg_lst, ll,
                               info["n_eval"])
         info["n_eval"] += 1
-        return -ll
+
+    # At extreme bound corners (e.g. t_upper/N_ABC ~ 1e3 coalescent units)
+    # the model build overflows to non-finite values; a large finite
+    # penalty keeps line searches and simplex steps backtracking instead
+    # of propagating NaN into scipy's termination logic.
+    _PENALTY = 1e12
+
+    if use_grad:
+        vg = engine.loglik_and_grad_fn(
+            optim_variables, fixed_params, case, resolver
+        )
+
+        def objective(arg_lst):
+            ll, g = vg(arg_lst)
+            _record(arg_lst, ll)
+            if not (np.isfinite(ll) and np.all(np.isfinite(g))):
+                return _PENALTY, np.zeros_like(np.asarray(g))
+            return -ll, -g
+
+        return minimize(
+            objective,
+            x0=np.asarray(optim_list, dtype=np.float64),
+            method=method,
+            jac=True,
+            bounds=bounds,
+            options={"maxiter": maxiter, "disp": True},
+        )
+
+    def objective(arg_lst):
+        d = dict(fixed_params)
+        for name, value in zip(optim_variables, arg_lst):
+            d[name] = float(value)
+        d = resolver(case, d)
+        ll = engine.loglik(d)
+        _record(arg_lst, ll)
+        return _PENALTY if not np.isfinite(ll) else -ll
 
     return minimize(
         objective,
