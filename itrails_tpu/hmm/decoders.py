@@ -32,6 +32,7 @@ __all__ = [
     "backward",
     "posterior",
     "viterbi",
+    "viterbi_fast",
 ]
 
 
@@ -87,6 +88,18 @@ def forward_loglik_fast(a, bfull, pi, tokens):
     if pallas_fwd.supported():
         return pallas_fwd.forward_loglik_fused(a, bfull, pi, tokens)
     return forward_loglik(a, bfull, pi, tokens)
+
+
+def viterbi_fast(a, bfull, pi, tokens):
+    """Viterbi path, dispatched at trace time to the fused Pallas kernel
+    (hmm.pallas_viterbi) on TPU, else the XLA scan.  The kernel also
+    rescales omega per step, preserving f32 resolution on state
+    differences for arbitrarily long windows."""
+    from itrails_tpu.hmm import pallas_viterbi
+
+    if pallas_viterbi.supported():
+        return pallas_viterbi.viterbi_fused(a, bfull, pi, tokens)
+    return viterbi(a, bfull, pi, tokens)
 
 
 def _forward_all(a, bfull, pi, tokens):

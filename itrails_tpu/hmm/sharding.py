@@ -77,5 +77,13 @@ def sharded_posterior(a, bfull, pi, tokens, mesh: Mesh):
 
 
 def sharded_viterbi(a, bfull, pi, tokens, mesh: Mesh):
-    tokens = shard_batch(tokens, mesh)
-    return jax.jit(decoders.viterbi)(a, bfull, pi, tokens)
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None)),
+        out_specs=P("data", None), check_vma=False,
+    )
+    def f(a, bfull, pi, tokens):
+        return decoders.viterbi_fast(a, bfull, pi, tokens)
+
+    return f(a, bfull, pi, shard_batch(tokens, mesh))
