@@ -31,6 +31,7 @@ __all__ = [
     "forward_loglik_fast",
     "backward",
     "posterior",
+    "posterior_fast",
     "viterbi",
     "viterbi_fast",
 ]
@@ -88,6 +89,17 @@ def forward_loglik_fast(a, bfull, pi, tokens):
     if pallas_fwd.supported():
         return pallas_fwd.forward_loglik_fused(a, bfull, pi, tokens)
     return forward_loglik(a, bfull, pi, tokens)
+
+
+def posterior_fast(a, bfull, pi, tokens):
+    """Posterior probabilities, dispatched at trace time to the fused
+    Pallas forward+backward kernels (hmm.pallas_fwd.posterior_fused) on
+    TPU, else the XLA scans."""
+    from itrails_tpu.hmm import pallas_fwd
+
+    if pallas_fwd.supported():
+        return pallas_fwd.posterior_fused(a, bfull, pi, tokens)
+    return posterior(a, bfull, pi, tokens)
 
 
 def viterbi_fast(a, bfull, pi, tokens):

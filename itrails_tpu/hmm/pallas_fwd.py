@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from itrails_tpu.data.tokens import PAD_TOKEN
 
-__all__ = ["forward_loglik_fused", "forward_fused", "supported"]
+__all__ = ["forward_loglik_fused", "forward_fused", "posterior_fused",
+           "supported"]
 
 _K = 625  # alphabet size
 _KP = 640  # padded to a lane multiple
@@ -55,7 +56,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
-            ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int):
+            ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
+            al_all_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -81,6 +83,8 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         snz = jnp.where(pad, 1.0, s)
         al = jnp.where(pad, al, nx / snz)
         acc = acc + jnp.where(pad, 0.0, jnp.log(snz))
+        if al_all_ref is not None:
+            al_all_ref[pl.ds(t, 1), :, :] = al[None]
         return al, acc
 
     # int32 bounds keep the induction variable i32 under jax_enable_x64
@@ -186,3 +190,163 @@ def forward_loglik_fused(a, bfull, pi, tokens, **kw):
     """Total log-likelihood of a (W, T) token batch via the fused kernel."""
     _, ll = forward_fused(a, bfull, pi, tokens, **kw)
     return jnp.sum(ll)
+
+
+def _kernel_alpha(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
+                  ll_ref, alf_ref, al_all_ref, al_s, acc_s, *,
+                  mp: int, chunk_t: int):
+    _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref, ll_ref, alf_ref,
+            al_s, acc_s, mp=mp, chunk_t=chunk_t, al_all_ref=al_all_ref)
+
+
+def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
+                *, mp: int, chunk_t: int):
+    """Reverse sweep: fused reference-convention backward recursion
+    (beta'[j] = sum_i a[i, j] (e * beta)[i], decoders.backward NOTE) and
+    posterior combine gamma_t = normalize(alpha_t * beta_t).  Scale factors
+    of the Rabiner-normalised alpha and the per-step-normalised beta cancel
+    in the normalisation, so no logs are needed anywhere."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        be_s[:] = jnp.ones_like(be_s)
+
+    btcat = btcat_ref[:]
+    at = at_ref[:]
+    bw = tok_ref.shape[1]
+    kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+
+    def step(k, be):
+        t = chunk_t - 1 - k
+        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        al_t = al_ref[t]  # (Mp, BW)
+        g = al_t * be
+        s = jnp.sum(g, axis=0, keepdims=True)
+        gam_ref[pl.ds(t, 1), :, :] = (g / jnp.where(s > 0, s, 1.0))[None]
+
+        oh = (tok == kio).astype(jnp.bfloat16)
+        e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
+        e = e2[:mp] + e2[mp:]
+        nx = jnp.dot(at, be * e, preferred_element_type=jnp.float32)
+        sn = jnp.sum(nx, axis=0, keepdims=True)
+        nx = nx / jnp.where(sn > 0, sn, 1.0)
+        pad = tok == PAD_TOKEN
+        return jnp.where(pad, be, nx)
+
+    be = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk_t), step, be_s[:])
+    be_s[:] = be
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        bef_ref[:] = be_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_w", "chunk_t", "interpret")
+)
+def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 512,
+                    chunk_t: int = 128, interpret: bool = False):
+    """Posterior state probabilities, (T, W, M) — same contract as
+    decoders.posterior (padded steps are garbage; mask with
+    ``tokens != PAD_TOKEN``).  Two fused kernels: the forward pass storing
+    every normalised alpha, then a reverse-grid backward pass emitting
+    gamma directly."""
+    m = a.shape[0]
+    w, t_len = tokens.shape
+    mp = _round_up(max(m, 8), 8)
+    f32 = jnp.float32
+
+    at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
+    bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
+    bt_hi = bt.astype(jnp.bfloat16)
+    bt_lo = (bt - bt_hi.astype(f32)).astype(jnp.bfloat16)
+    btcat = jnp.concatenate([bt_hi, bt_lo], axis=0)
+
+    bw = min(block_w, _round_up(w, 128))
+    wp = _round_up(w, bw)
+    # the backward kernel holds two (tc, Mp, BW) f32 blocks (alpha in,
+    # gamma out), each double-buffered: cap each at ~1.75 MB
+    tc = min(chunk_t,
+             max(8, (int(1.75 * 2**20) // (mp * bw * 4)) // 8 * 8))
+
+    tok0 = tokens[:, 0]
+    e0 = bt[:m, :_K].T[jnp.maximum(tok0, 0)]
+    e0 = jnp.where((tok0 == PAD_TOKEN)[:, None], jnp.ones_like(e0), e0)
+    al0 = pi[None, :].astype(f32) * e0
+    s0 = jnp.sum(al0, axis=1)
+    al0 = al0 / s0[:, None]
+    al0_p = jnp.zeros((mp, wp), f32).at[:m, :w].set(al0.T)
+    al0_p = al0_p.at[0, w:].set(1.0)
+    acc0_p = jnp.zeros((1, wp), f32).at[0, :w].set(jnp.log(s0))
+
+    rest = tokens[:, 1:]
+    tp = max(_round_up(rest.shape[1], tc), tc)
+    tok_t = jnp.full((tp, wp), PAD_TOKEN, jnp.int32)
+    tok_t = tok_t.at[: rest.shape[1], :w].set(rest.T.astype(jnp.int32))
+
+    grid = (wp // bw, tp // tc)
+    n_j = tp // tc
+    zi = lambda i, j: (i * 0, i)  # noqa: E731
+    zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
+
+    _ll, _alf, al_all = pl.pallas_call(
+        functools.partial(_kernel_alpha, mp=mp, chunk_t=tc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tc, bw), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, mp, bw), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, wp), f32),
+            jax.ShapeDtypeStruct((mp, wp), f32),
+            jax.ShapeDtypeStruct((tp, mp, wp), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((mp, bw), f32),
+            pltpu.VMEM((1, bw), f32),
+        ],
+        interpret=interpret,
+    )(tok_t, al0_p, acc0_p, btcat, at)
+
+    rev = lambda i, j: (n_j - 1 - j, i)  # noqa: E731
+    rev3 = lambda i, j: (n_j - 1 - j, 0, i)  # noqa: E731
+    gam, be0 = pl.pallas_call(
+        functools.partial(_bwd_kernel, mp=mp, chunk_t=tc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tc, bw), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, mp, wp), f32),
+            jax.ShapeDtypeStruct((mp, wp), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((mp, bw), f32)],
+        interpret=interpret,
+    )(tok_t, al_all, btcat, at)
+
+    # column 0 on the XLA side: gamma_0 = normalize(al0 * be_0)
+    g0 = al0_p[:m, :w] * be0[:m, :w]  # (M, W)
+    g0 = g0 / jnp.maximum(jnp.sum(g0, axis=0, keepdims=True), 1e-38)
+    n_real = rest.shape[1]
+    post = jnp.concatenate(
+        [g0.T[None], jnp.transpose(gam[:n_real, :m, :w], (0, 2, 1))], axis=0
+    )
+    return post

@@ -72,8 +72,16 @@ def sharded_forward_loglik(a, bfull, pi, tokens, mesh: Mesh):
 
 
 def sharded_posterior(a, bfull, pi, tokens, mesh: Mesh):
-    tokens = shard_batch(tokens, mesh)
-    return jax.jit(decoders.posterior)(a, bfull, pi, tokens)
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None)),
+        out_specs=P(None, "data", None), check_vma=False,
+    )
+    def f(a, bfull, pi, tokens):
+        return decoders.posterior_fast(a, bfull, pi, tokens)
+
+    return f(a, bfull, pi, shard_batch(tokens, mesh))
 
 
 def sharded_viterbi(a, bfull, pi, tokens, mesh: Mesh):

@@ -63,3 +63,29 @@ def test_fast_dispatch_cpu_falls_back():
     ll_fast = float(decoders.forward_loglik_fast(a, bfull, pi, tokens))
     ll_ref = float(decoders.forward_loglik(a, bfull, pi, tokens))
     np.testing.assert_allclose(ll_fast, ll_ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("m", [9, 27])
+def test_fused_posterior_matches_scan(m):
+    a, bfull, pi = _random_model(m, seed=7)
+    rng = np.random.default_rng(8)
+    tokens = np.asarray(rng.integers(0, 625, size=(3, 41)), np.int32)
+    tokens[1, 30:] = PAD_TOKEN
+    tokens = jnp.asarray(tokens)
+    p_ref = np.asarray(decoders.posterior(a, bfull, pi, tokens))
+    p_ker = np.asarray(pallas_fwd.posterior_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=8, interpret=True
+    ))
+    mask = (np.asarray(tokens) != PAD_TOKEN).T[:, :, None]
+    np.testing.assert_allclose(
+        np.where(mask, p_ker, 0.0), np.where(mask, p_ref, 0.0), atol=2e-5
+    )
+
+
+def test_posterior_fast_dispatch_cpu():
+    a, bfull, pi = _random_model(9, seed=9)
+    rng = np.random.default_rng(10)
+    tokens = jnp.asarray(rng.integers(0, 625, size=(2, 23)), jnp.int32)
+    p_fast = np.asarray(decoders.posterior_fast(a, bfull, pi, tokens))
+    p_ref = np.asarray(decoders.posterior(a, bfull, pi, tokens))
+    np.testing.assert_allclose(p_fast, p_ref, rtol=1e-6)
