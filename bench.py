@@ -107,6 +107,27 @@ def main():
     ll2 = float(fwd(a2, bfull2, pi2, mb_tokens))
     optimizer_eval_s = time.time() - t0
 
+    # secondary decoders on a (1024, win_len) slice (posterior stores
+    # (T, M, W) alphas+gammas on-device — keep the batch inside HBM)
+    wd = min(1024, n_windows)
+    dec_tokens = [b[:wd] for b in bufs[:3]]
+    vit = jax.jit(lambda a, bf, pi, t: decoders.viterbi_fast(a, bf, pi, t)[:, -1].sum())
+    post = jax.jit(lambda a, bf, pi, t: decoders.posterior_fast(a, bf, pi, t)[-1].sum())
+    extras = {}
+    for name, fn in (("viterbi", vit), ("posterior", post)):
+        try:
+            float(fn(a, bfull, pi, dec_tokens[0]))
+            ts = []
+            for tkn in dec_tokens[1:]:
+                t0 = time.time()
+                float(fn(a, bfull, pi, tkn))
+                ts.append(time.time() - t0)
+            extras[f"{name}_mcols_per_s"] = round(
+                wd * win_len / float(np.median(ts)) / 1e6, 1
+            )
+        except Exception as e:  # secondary metric must not kill the bench
+            extras[f"{name}_mcols_per_s"] = f"error: {type(e).__name__}"
+
     print(json.dumps({
         "metric": "alignment columns/sec/chip (3-species HMM forward, M=27)",
         "value": round(cols_per_sec, 1),
@@ -118,6 +139,7 @@ def main():
         "model_build_s_first": round(build_first_s, 3),
         "model_build_s_cached": round(build_eval_s, 3),
         "optimizer_eval_s_1mb": round(optimizer_eval_s, 3),
+        **extras,
     }))
 
 

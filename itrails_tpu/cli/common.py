@@ -26,7 +26,28 @@ __all__ = [
 TIME_PARAMS = ("t_1", "t_A", "t_B", "t_C")
 
 
+def enable_compilation_cache():
+    """Persist XLA compilations across runs (first TPU compile of the
+    decode kernels / model build is tens of seconds; subsequent CLI
+    invocations then start hot).  Opt out with ITRAILS_NO_CACHE=1."""
+    if os.environ.get("ITRAILS_NO_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "ITRAILS_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "itrails_tpu", "xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard failure
+        pass
+
+
 def standard_parser(description, usage=None):
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=description, usage=usage)
     p.add_argument("config_file", type=str, help="Path to the YAML config file.")
     p.add_argument("--input", type=str, required=False,
@@ -283,13 +304,21 @@ def prepare_decode_setup(config, introgression=False):
     n_int_AB = settings["n_int_AB"]
     n_int_ABC = settings["n_int_ABC"]
 
+    def _scalar(value):
+        # accept an optimize-style [start, min, max] triple by taking the
+        # starting value, so an optimize config can be decoded directly
+        # (the reference crashes on triples; best_model.yaml is scalar)
+        if isinstance(value, (list, tuple)):
+            value = value[0]
+        return float(value)
+
     d = {"n_int_AB": n_int_AB, "n_int_ABC": n_int_ABC}
     found = set()
     for name in TIME_PARAMS:
         kind = _classify(name, fixed, optimized)
         if kind:
             found.add(name)
-            d[name] = float(fixed[name] if kind == "fixed" else optimized[name])
+            d[name] = _scalar(fixed[name] if kind == "fixed" else optimized[name])
     case = frozenset(found)
     if case not in ALLOWED_CASES:
         raise ValueError(f"Invalid combination of time values: {found}")
@@ -303,7 +332,7 @@ def prepare_decode_setup(config, introgression=False):
         kind = _classify(name, fixed, optimized)
         if kind is None:
             raise ValueError(f"Parameter '{name}' must be provided.")
-        d[name] = float(fixed[name] if kind == "fixed" else optimized[name])
+        d[name] = _scalar(fixed[name] if kind == "fixed" else optimized[name])
 
     if introgression and settings.get("proportional"):
         # t_m given as a proportion of t_1 (reference
@@ -345,12 +374,12 @@ def prepare_decode_setup(config, introgression=False):
     # t_upper: direct or from t_3 (reference workflow_viterbi.py:360-404)
     kind = _classify("t_upper", fixed, optimized)
     if kind:
-        d["t_upper"] = float(fixed["t_upper"] if kind == "fixed" else optimized["t_upper"])
+        d["t_upper"] = _scalar(fixed["t_upper"] if kind == "fixed" else optimized["t_upper"])
     else:
         t3_kind = _classify("t_3", fixed, optimized)
         if t3_kind is None:
             raise ValueError("'t_3' not found in parameter definition.")
-        t3 = float(fixed["t_3"] if t3_kind == "fixed" else optimized["t_3"])
+        t3 = _scalar(fixed["t_3"] if t3_kind == "fixed" else optimized["t_3"])
         if norm_cut_abc is not None:
             deep_unscaled = norm_cut_abc[-1]
         else:
@@ -365,7 +394,7 @@ def prepare_decode_setup(config, introgression=False):
     if "t_out" in optimized:
         raise ValueError("Parameter 't_out' has to be fixed.")
     if "t_out" in fixed:
-        d["t_out"] = float(fixed["t_out"])
+        d["t_out"] = _scalar(fixed["t_out"])
 
     # mu-scale everything ('m' stays dimensionless — see
     # prepare_optimize_setup NOTE)

@@ -9,9 +9,9 @@ This kernel removes both costs:
 * the token -> emission-row lookup runs on the MXU as a one-hot matmul.
   The (K=640, BW) one-hot is built in VMEM from an iota compare and is
   consumed immediately — it never touches HBM.  The emission table is
-  split ``bt = hi(bf16) + lo(bf16)`` and both halves are packed into one
-  (2*Mp, 640) LHS so a single bf16 matmul with f32 accumulation
-  reconstructs the f32 table to ~2^-16 relative error;
+  split into three stacked bf16 tables (split_bf16, integer-masked so XLA
+  cannot elide the round-trip) so a single bf16 matmul with f32
+  accumulation reconstructs the f32 table bit-exactly;
 * the alpha carry lives in a VMEM scratch that persists across the
   sequential grid, so per-step HBM traffic is 4 bytes/column (the token).
 
@@ -55,6 +55,34 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def split_bf16(table, parts: int = 3):
+    """Split an f32 table into ``parts`` stacked bf16 tables whose f32 sum
+    reproduces it EXACTLY (for parts=3).  Stacked along axis 0 so one
+    one-hot matmul evaluates all parts; the one-hot operand is exactly
+    representable, so the reconstruction is bit-exact f32.
+
+    The split is done by integer masking, NOT by ``x - bf16(x)`` casts: on
+    TPU, XLA's excess-precision rule elides f32->bf16->f32 round-trips, so
+    the cast formulation silently computes zero residuals on hardware
+    (verified on v5e) and the table degrades to single-bf16 precision.
+    Masking the low 16 bits of the f32 yields the exact bf16 truncation
+    (f32's top 16 bits ARE the bf16 layout); each part then holds 8
+    disjoint significand bits, so hi+mid+lo == x exactly in f32.
+    """
+    f32 = jnp.float32
+    chunks = []
+    resid = table.astype(f32)
+    for _ in range(parts - 1):
+        bits = jax.lax.bitcast_convert_type(resid, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), f32
+        )
+        chunks.append(hi.astype(jnp.bfloat16))  # exact: already bf16-valued
+        resid = resid - hi  # exact: removes the top 8 significand bits
+    chunks.append(resid.astype(jnp.bfloat16))  # exact: <=8 bits left
+    return jnp.concatenate(chunks, axis=0)
+
+
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
             ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
             al_all_ref=None):
@@ -65,7 +93,7 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         al_s[:] = al0_ref[:]
         acc_s[:] = acc0_ref[:]
 
-    btcat = btcat_ref[:]  # (2*Mp, KP) bf16
+    btcat = btcat_ref[:]  # (3*Mp, KP) bf16 (hi/mid/lo residual split)
     at = at_ref[:]  # (Mp, Mp) f32, transition transposed
 
     bw = tok_ref.shape[1]
@@ -76,7 +104,7 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
         oh = (tok == kio).astype(jnp.bfloat16)  # (KP, BW)
         e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
-        e = e2[:mp] + e2[mp:]  # (Mp, BW) ~f32 emission rows
+        e = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact rows
         nx = jnp.dot(at, al, preferred_element_type=jnp.float32) * e
         s = jnp.sum(nx, axis=0, keepdims=True)  # (1, BW)
         pad = tok == PAD_TOKEN
@@ -128,9 +156,7 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     # padded, transposed model tensors
     at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
     bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
-    bt_hi = bt.astype(jnp.bfloat16)
-    bt_lo = (bt - bt_hi.astype(f32)).astype(jnp.bfloat16)
-    btcat = jnp.concatenate([bt_hi, bt_lo], axis=0)  # (2Mp, KP)
+    btcat = split_bf16(bt)  # (3Mp, KP)
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
@@ -166,7 +192,7 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -227,7 +253,7 @@ def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
 
         oh = (tok == kio).astype(jnp.bfloat16)
         e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
-        e = e2[:mp] + e2[mp:]
+        e = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
         nx = jnp.dot(at, be * e, preferred_element_type=jnp.float32)
         sn = jnp.sum(nx, axis=0, keepdims=True)
         nx = nx / jnp.where(sn > 0, sn, 1.0)
@@ -259,9 +285,7 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 512,
 
     at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
     bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
-    bt_hi = bt.astype(jnp.bfloat16)
-    bt_lo = (bt - bt_hi.astype(f32)).astype(jnp.bfloat16)
-    btcat = jnp.concatenate([bt_hi, bt_lo], axis=0)
+    btcat = split_bf16(bt)
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
@@ -298,13 +322,13 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 512,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, mp, bw), lambda i, j: (j, 0, i),
+            pl.BlockSpec((tc, mp, bw), lambda i, j: (j, i * 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -319,15 +343,15 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 512,
         interpret=interpret,
     )(tok_t, al0_p, acc0_p, btcat, at)
 
-    rev = lambda i, j: (n_j - 1 - j, i)  # noqa: E731
-    rev3 = lambda i, j: (n_j - 1 - j, 0, i)  # noqa: E731
+    rev = lambda i, j: (i * 0 + n_j - 1 - j, i)  # noqa: E731
+    rev3 = lambda i, j: (i * 0 + n_j - 1 - j, i * 0, i)  # noqa: E731
     gam, be0 = pl.pallas_call(
         functools.partial(_bwd_kernel, mp=mp, chunk_t=tc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[

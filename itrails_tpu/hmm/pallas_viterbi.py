@@ -6,9 +6,10 @@ on TPU it reaches only ~50 (M=27) / ~12 (M=133) Mcol/s.  This kernel:
 
 * keeps the (Mp, BW) omega carry in VMEM across the whole scan (transposed
   layout: states on sublanes, windows on lanes);
-* looks up *log*-emission rows on the MXU via the same bf16 hi+lo one-hot
-  matmul as hmm.pallas_fwd (one-hot selection is exact, so the log-table
-  passes through the matmul unchanged);
+* looks up *log*-emission rows on the MXU via the same triple-bf16
+  one-hot matmul as hmm.pallas_fwd (bit-exact f32; near-degenerate
+  coalescent states need the full 24 bits — a lossy split measurably
+  degrades paths, see split_bf16's note on XLA eliding cast round-trips);
 * runs the max-plus contraction as a VPU broadcast-and-reduce, tiled over
   small groups of destination states (``slab[j, i, w] = lat[j, i] +
   om[i, w]``, max/argmin-index reductions over i) — no dynamic indexing;
@@ -33,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from itrails_tpu.data.tokens import PAD_TOKEN
+from itrails_tpu.hmm.pallas_fwd import split_bf16
 
 __all__ = ["viterbi_fused", "supported"]
 
@@ -59,7 +61,7 @@ def _kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref, om_s,
     def _():
         om_s[:] = om0_ref[:]
 
-    logbt = logbt_ref[:]  # (2Mp, KP) bf16 hi+lo log-emission
+    logbt = logbt_ref[:]  # (3Mp, KP) bf16 hi/mid/lo log-emission
     lat = lat_ref[:]  # (Mp, Mp) f32: lat[j_state, i_state] = log a[i, j]
 
     bw = tok_ref.shape[1]
@@ -74,7 +76,7 @@ def _kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref, om_s,
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
         oh = (tok == kio).astype(jnp.bfloat16)
         e2 = jnp.dot(logbt, oh, preferred_element_type=jnp.float32)
-        loge = e2[:mp] + e2[mp:]  # (Mp, BW)
+        loge = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact
 
         # max-plus contraction, tiled over destination states j:
         # slab[j, i, w] = lat[j, i] + om[i, w]; reduce (max, argmax) over i
@@ -84,7 +86,9 @@ def _kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref, om_s,
             slab = lat_t[:, :, None] + om[None, :, :]  # (TJ, Mp, BW)
             mx = jnp.max(slab, axis=1)  # (TJ, BW)
             eq = slab == mx[:, None, :]
-            idx = jnp.min(jnp.where(eq, iota_i, mp), axis=1)
+            # jnp.int32(mp): a bare python int promotes the where() to i64
+            # under jax_enable_x64, which Mosaic cannot convert back
+            idx = jnp.min(jnp.where(eq, iota_i, jnp.int32(mp)), axis=1)
             curs.append(mx)
             ptrs_.append(idx.astype(jnp.int32))
         cur = jnp.concatenate(curs, axis=0)  # (Mp, BW)
@@ -125,9 +129,7 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 512,
     )
     lat = jnp.full((mp, mp), f32(_NEG)).at[:m, :m].set(log_clip(a).T)
     logbt = jnp.full((mp, _KP), f32(_NEG)).at[:m, :_K].set(log_clip(bfull))
-    bt_hi = logbt.astype(jnp.bfloat16)
-    bt_lo = (logbt - bt_hi.astype(f32)).astype(jnp.bfloat16)
-    logbt_cat = jnp.concatenate([bt_hi, bt_lo], axis=0)
+    logbt_cat = split_bf16(logbt)
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
@@ -159,11 +161,11 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 512,
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tc, mp, bw), lambda i, j: (j, 0, i),
+            pl.BlockSpec((tc, mp, bw), lambda i, j: (j, i * 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
         ],

@@ -89,3 +89,26 @@ def test_posterior_fast_dispatch_cpu():
     p_fast = np.asarray(decoders.posterior_fast(a, bfull, pi, tokens))
     p_ref = np.asarray(decoders.posterior(a, bfull, pi, tokens))
     np.testing.assert_allclose(p_fast, p_ref, rtol=1e-6)
+
+
+def test_split_bf16_is_bit_exact_under_jit():
+    """The triple-bf16 emission split must reconstruct f32 EXACTLY, and it
+    must do so *under jit*: the naive ``x - bf16(x)`` formulation is elided
+    by XLA's excess-precision rule on TPU (residuals silently become zero,
+    degrading the table to 8-bit significand), which flipped ~3% of Viterbi
+    states on hardware.  The integer-masked split cannot be elided."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        np.float32([-1e4, -5.25, -0.001, -9984.0, -10016.0, 0.0, -0.0]),
+        rng.normal(0, 100, 512).astype(np.float32),
+        np.exp(rng.normal(-10, 8, 512)).astype(np.float32),
+    ]).reshape(1, -1)
+    cat = np.asarray(jax.jit(pallas_fwd.split_bf16)(jnp.asarray(vals)),
+                     np.float32)
+    rec = cat[0] + cat[1] + cat[2]
+    np.testing.assert_array_equal(rec, vals[0])
+    # residual parts must actually carry bits (elision would zero them)
+    assert (np.abs(cat[1]) > 0).any()
+    assert (np.abs(cat[2]) > 0).any()
