@@ -23,13 +23,16 @@ order).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from itrails_tpu.data.tokens import PAD_TOKEN
 
-__all__ = ["forward_loglik_long", "posterior_long", "chunk_operators"]
+__all__ = ["forward_loglik_long", "posterior_long", "chunk_operators",
+           "viterbi_segmented"]
 
 
 def chunk_operators(a, bfull, tokens, chunk: int):
@@ -267,4 +270,129 @@ def viterbi_long(a, bfull, pi, tokens, chunk: int = 256):
     path[-1] = int(np.argmax(final_omega))
     for t in range(t_len - 2, -1, -1):
         path[t] = ptrs[t][path[t + 1]]
+    return path
+
+
+def _mp_matmul(l, r):
+    """(max, +) semiring matrix product, batched over leading dims."""
+    return jnp.max(l[..., :, :, None] + r[..., None, :, :], axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _viterbi_seg_exit(log_a, log_b, omega_in, tok, *, chunk: int):
+    """Max-plus omega vector after consuming one segment of stream columns.
+
+    tok: (C, chunk) segment tokens (PAD-padded columns are identity).
+    """
+    m = log_a.shape[0]
+    c = tok.shape[0]
+    neg = jnp.asarray(jnp.finfo(log_a.dtype).min / 4, log_a.dtype)
+    g0 = jnp.broadcast_to(
+        jnp.where(jnp.eye(m, dtype=bool), 0.0, neg).astype(log_a.dtype),
+        (c, m, m),
+    )
+
+    def op_step(g, t_col):
+        e = log_b[jnp.maximum(t_col, 0)]
+        new = _mp_matmul(g, log_a[None] + e[:, None, :])
+        return jnp.where((t_col != PAD_TOKEN)[:, None, None], new, g), None
+
+    ops, _ = lax.scan(op_step, g0, tok.T)
+    total = lax.associative_scan(_mp_matmul, ops)[-1]
+    return jnp.max(omega_in[:, None] + total, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _viterbi_seg_ptrs(log_a, log_b, omega_in, tok, *, chunk: int):
+    """Backpointer table (chunk, C, M) for one segment, given the max-plus
+    omega vector at the segment's entry."""
+    m = log_a.shape[0]
+    c = tok.shape[0]
+    neg = jnp.asarray(jnp.finfo(log_a.dtype).min / 4, log_a.dtype)
+    g0 = jnp.broadcast_to(
+        jnp.where(jnp.eye(m, dtype=bool), 0.0, neg).astype(log_a.dtype),
+        (c, m, m),
+    )
+
+    def op_step(g, t_col):
+        e = log_b[jnp.maximum(t_col, 0)]
+        new = _mp_matmul(g, log_a[None] + e[:, None, :])
+        return jnp.where((t_col != PAD_TOKEN)[:, None, None], new, g), None
+
+    ops, _ = lax.scan(op_step, g0, tok.T)
+    prefix = lax.associative_scan(_mp_matmul, ops)
+    prefix_ex = jnp.concatenate([g0[:1], prefix[:-1]], axis=0)
+    omega_entry = jnp.max(omega_in[None, :, None] + prefix_ex, axis=1)
+
+    def rec_step(omega, t_col):
+        e = log_b[jnp.maximum(t_col, 0)]
+        scores = omega[:, :, None] + log_a[None] + e[:, None, :]
+        ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        new = jnp.max(scores, axis=1)
+        pad = (t_col == PAD_TOKEN)[:, None]
+        ident = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.int32)[None, :], ptr.shape
+        )
+        return jnp.where(pad, omega, new), jnp.where(pad, ident, ptr)
+
+    _, ptrs = lax.scan(rec_step, omega_entry, tok.T)
+    return ptrs  # (chunk, C, M)
+
+
+def viterbi_segmented(a, bfull, pi, tokens, chunk: int = 256,
+                      seg_chunks: int = 512):
+    """Exact Viterbi path for one long block with BOUNDED memory.
+
+    :func:`viterbi_long` materialises the full (T, M) backpointer table; at
+    chromosome scale (T ~ 1e8, M = 133) that is tens of GB.  This variant
+    streams it in segments of ``seg_chunks * chunk`` columns: a forward pass
+    keeps only the (M,) max-plus omega vector at each segment boundary
+    (n_seg * M floats), then a reverse pass recomputes one segment's
+    backpointers at a time on device and backtracks it on the host.  Peak
+    memory is O(seg_chunks * chunk * M) regardless of T; compute is 2x the
+    single-pass recursion (the classic checkpoint/recompute trade, same as
+    jax.checkpoint for the decode).  Matches decoders.viterbi exactly.
+    """
+    import numpy as np
+
+    t_len = tokens.shape[0]
+    m = a.shape[0]
+    log_a = jnp.log(a)
+    log_b = jnp.log(bfull.T)
+    omega0 = jnp.log(pi) + log_b[jnp.maximum(tokens[0], 0)]
+
+    stream_len = t_len - 1
+    if stream_len == 0:
+        return np.asarray([int(jnp.argmax(omega0))], dtype=np.int32)
+
+    seg_cols = seg_chunks * chunk
+    n_seg = max(-(-stream_len // seg_cols), 1)
+    padded = n_seg * seg_cols
+    stream = jnp.concatenate(
+        [tokens[1:], jnp.full((padded - stream_len,), PAD_TOKEN, tokens.dtype)]
+    )
+    segs = stream.reshape(n_seg, seg_chunks, chunk)
+
+    # forward: omega vector at each segment entry (tiny: n_seg x M)
+    entries = [omega0]
+    for s in range(n_seg):
+        entries.append(
+            _viterbi_seg_exit(log_a, log_b, entries[-1], segs[s], chunk=chunk)
+        )
+    final_omega = np.asarray(entries[-1])
+
+    # reverse: recompute one segment's pointers at a time, backtrack on host
+    path = np.empty(t_len, dtype=np.int32)
+    state = int(np.argmax(final_omega))
+    path[-1] = state
+    for s in range(n_seg - 1, -1, -1):
+        ptrs = np.asarray(
+            _viterbi_seg_ptrs(log_a, log_b, entries[s], segs[s], chunk=chunk)
+        )  # (chunk, seg_chunks, M)
+        ptrs = ptrs.transpose(1, 0, 2).reshape(-1, m)  # segment stream order
+        lo = s * seg_cols
+        hi = min((s + 1) * seg_cols, stream_len)
+        for t in range(hi - 1, lo - 1, -1):
+            state = ptrs[t - lo][state]
+            path[t] = state  # global position t (= stream index t's source)
     return path

@@ -60,3 +60,29 @@ def test_viterbi_long_matches_sequential():
         path_seq = np.asarray(decoders.viterbi(a, bfull, pi, tokens[None]))[0]
         np.testing.assert_array_equal(path_long, path_seq,
                                       err_msg=f"T={t_len} chunk={chunk}")
+
+
+def test_viterbi_segmented_matches_sequential():
+    from itrails_tpu.hmm.longseq import viterbi_segmented
+
+    a, bfull, pi = _model()
+    rng = np.random.default_rng(13)
+    for t_len, chunk, seg in ((900, 32, 4), (257, 16, 2), (64, 64, 1),
+                              (1025, 128, 3), (2, 8, 2)):
+        tokens = jnp.asarray(rng.integers(0, 625, size=t_len), jnp.int32)
+        path_seg = viterbi_segmented(a, bfull, pi, tokens, chunk=chunk,
+                                     seg_chunks=seg)
+        path_ref = np.asarray(decoders.viterbi(a, bfull, pi, tokens[None]))[0]
+        np.testing.assert_array_equal(path_seg, path_ref,
+                                      err_msg=f"T={t_len} chunk={chunk} seg={seg}")
+
+
+def test_viterbi_segmented_matches_viterbi_long():
+    from itrails_tpu.hmm.longseq import viterbi_long, viterbi_segmented
+
+    a, bfull, pi = _model()
+    rng = np.random.default_rng(14)
+    tokens = jnp.asarray(rng.integers(0, 625, size=3001), jnp.int32)
+    p1 = viterbi_segmented(a, bfull, pi, tokens, chunk=64, seg_chunks=8)
+    p2 = viterbi_long(a, bfull, pi, tokens, chunk=64)
+    np.testing.assert_array_equal(p1, p2)
