@@ -109,8 +109,13 @@ def _split_by_length(v_lst):
     return short, long
 
 
+# Above this length the Viterbi backpointer table is streamed in bounded-
+# memory segments (longseq.viterbi_segmented) instead of materialised whole.
+SEGMENTED_VITERBI_THRESHOLD = 8_388_608
+
+
 def run_viterbi(a, bfull, pi, v_lst):
-    from itrails_tpu.hmm.longseq import viterbi_long
+    from itrails_tpu.hmm.longseq import viterbi_long, viterbi_segmented
 
     short, long = _split_by_length(v_lst)
     out = [None] * len(v_lst)
@@ -126,7 +131,11 @@ def run_viterbi(a, bfull, pi, v_lst):
         for (i, _), row in zip(short, rows):
             out[i] = row
     for i, v in long:
-        out[i] = viterbi_long(a, bfull, pi, jnp.asarray(v, jnp.int32))
+        v = jnp.asarray(v, jnp.int32)
+        if len(v) > SEGMENTED_VITERBI_THRESHOLD:
+            out[i] = viterbi_segmented(a, bfull, pi, v)
+        else:
+            out[i] = viterbi_long(a, bfull, pi, v)
     return out
 
 
@@ -146,8 +155,17 @@ def run_posterior(a, bfull, pi, v_lst):
         rows = [post[: lengths[w], w, :] for w in range(len(owner)) if owner[w] >= 0]
         for (i, _), row in zip(short, rows):
             out[i] = row
-    for i, v in long:
-        out[i] = np.asarray(posterior_long(a, bfull, pi, jnp.asarray(v, jnp.int32)))
+    if long:
+        from itrails_tpu.hmm.longseq_sharded import sharded_posterior_long
+
+        mesh = sharding.data_mesh()
+        for i, v in long:
+            v = jnp.asarray(v, jnp.int32)
+            if mesh.devices.size > 1:
+                # one long block spans every chip of the slice
+                out[i] = sharded_posterior_long(a, bfull, pi, v, mesh)
+            else:
+                out[i] = np.asarray(posterior_long(a, bfull, pi, v))
     return out
 
 
