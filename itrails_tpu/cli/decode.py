@@ -130,12 +130,18 @@ def run_viterbi(a, bfull, pi, v_lst):
         rows = [paths[w, : lengths[w]] for w in range(len(owner)) if owner[w] >= 0]
         for (i, _), row in zip(short, rows):
             out[i] = row
-    for i, v in long:
-        v = jnp.asarray(v, jnp.int32)
-        if len(v) > SEGMENTED_VITERBI_THRESHOLD:
-            out[i] = viterbi_segmented(a, bfull, pi, v)
-        else:
-            out[i] = viterbi_long(a, bfull, pi, v)
+    if long:
+        from itrails_tpu.hmm.longseq_sharded import sharded_viterbi_long
+
+        mesh = sharding.data_mesh()
+        for i, v in long:
+            v = jnp.asarray(v, jnp.int32)
+            if len(v) > SEGMENTED_VITERBI_THRESHOLD:
+                out[i] = viterbi_segmented(a, bfull, pi, v)
+            elif mesh.devices.size > 1:
+                out[i] = sharded_viterbi_long(a, bfull, pi, v, mesh)
+            else:
+                out[i] = viterbi_long(a, bfull, pi, v)
     return out
 
 

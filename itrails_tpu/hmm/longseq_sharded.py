@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from itrails_tpu.data.tokens import PAD_TOKEN
 from itrails_tpu.hmm.longseq import _combine, chunk_operators
 
-__all__ = ["sharded_forward_loglik_long", "sharded_posterior_long"]
+__all__ = ["sharded_forward_loglik_long", "sharded_posterior_long",
+           "sharded_viterbi_long"]
 
 
 def _pad_stream(tokens, chunk: int, n_dev: int):
@@ -205,3 +206,90 @@ def sharded_posterior_long(a, bfull, pi, tokens, mesh: Mesh,
     post = post - post.max(axis=1, keepdims=True)
     post = np.exp(post)
     return post / post.sum(axis=1, keepdims=True)
+
+
+def sharded_viterbi_long(a, bfull, pi, tokens, mesh: Mesh,
+                         chunk: int = 256):
+    """Exact Viterbi path of ONE long block, chunks sharded over the mesh
+    (matches decoders.viterbi exactly, including first-index tie-breaking).
+
+    Max-plus analogue of :func:`sharded_posterior_long`: per-shard chunk
+    operators + local exclusive prefix, one ``all_gather`` of per-shard
+    (M, M) max-plus totals, then a batched pointer-recording recursion.
+    Backpointers come back shard-sharded; the backtrack runs on the host.
+    For T beyond host memory use longseq.viterbi_segmented (single chip,
+    bounded memory) — a sharded segmented variant is future work.
+    """
+    t_len = tokens.shape[0]
+    m = a.shape[0]
+    stream_len = t_len - 1
+    n_dev = mesh.devices.size
+    log_a = jnp.log(a)
+    log_b = jnp.log(bfull.T)
+    omega0 = jnp.log(pi) + log_b[jnp.maximum(tokens[0], 0)]
+    if stream_len == 0:
+        return np.asarray([int(jnp.argmax(omega0))], dtype=np.int32)
+
+    first, tok = _pad_stream(tokens, chunk, n_dev)
+    tok_sh = jax.device_put(tok, NamedSharding(mesh, P("data", None)))
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None)),
+        out_specs=(P("data", None, None), P()), check_vma=False,
+    )
+    def f(log_a, log_b, omega0, tok):
+        c_loc = tok.shape[0]
+        neg = jnp.asarray(jnp.finfo(log_a.dtype).min / 4, log_a.dtype)
+        ident = jnp.where(jnp.eye(m, dtype=bool), 0.0, neg).astype(log_a.dtype)
+        g0 = jnp.broadcast_to(ident, (c_loc, m, m))
+
+        def mp(l, r):
+            return jnp.max(l[..., :, :, None] + r[..., None, :, :], axis=-2)
+
+        def op_step(g, t_col):
+            e = log_b[jnp.maximum(t_col, 0)]
+            new = mp(g, log_a[None] + e[:, None, :])
+            return jnp.where((t_col != PAD_TOKEN)[:, None, None], new, g), None
+
+        ops, _ = lax.scan(op_step, g0, tok.T)
+        prefix = lax.associative_scan(mp, ops)
+        prefix_ex = jnp.concatenate([g0[:1], prefix[:-1]], axis=0)
+
+        # cross-shard exclusive max-plus prefix of per-shard totals
+        tot = lax.all_gather(prefix[-1], "data")  # (n_dev, M, M)
+        vs = [omega0]
+        for k in range(1, n_dev):
+            vs.append(jnp.max(vs[-1][:, None] + tot[k - 1], axis=0))
+        v_my = jnp.stack(vs)[lax.axis_index("data")]
+        omega_entry = jnp.max(v_my[None, :, None] + prefix_ex, axis=1)
+
+        def rec_step(omega, t_col):
+            e = log_b[jnp.maximum(t_col, 0)]
+            scores = omega[:, :, None] + log_a[None] + e[:, None, :]
+            ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            new = jnp.max(scores, axis=1)
+            pad = (t_col == PAD_TOKEN)[:, None]
+            idn = jnp.broadcast_to(
+                jnp.arange(m, dtype=jnp.int32)[None, :], ptr.shape
+            )
+            return (jnp.where(pad, omega, new),
+                    (jnp.where(pad, idn, ptr), jnp.where(pad, omega, new)))
+
+        omega_last, (ptrs, _) = lax.scan(rec_step, omega_entry, tok.T)
+        # final omega: the LAST shard's last chunk (shards later than this
+        # one are identity only on the final shard); psum-style max merge
+        # is wrong for ordered products, so gather and let the host pick —
+        # simplest exact route: every shard contributes its last omega and
+        # the host uses the final shard's.
+        omega_fin = lax.all_gather(omega_last[-1], "data")[-1]
+        return ptrs.transpose(1, 0, 2), omega_fin
+
+    ptrs, omega_fin = f(log_a, log_b, omega0, tok_sh)
+    ptrs = np.asarray(ptrs).reshape(-1, m)[:stream_len]
+    path = np.empty(t_len, dtype=np.int32)
+    path[-1] = int(np.argmax(np.asarray(omega_fin)))
+    for t in range(t_len - 2, -1, -1):
+        path[t] = ptrs[t][path[t + 1]]
+    return path

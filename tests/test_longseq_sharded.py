@@ -74,3 +74,17 @@ def test_sharded_posterior_long_with_ambiguity_tokens():
     post_sh = sharded_posterior_long(a, bfull, pi, tokens, mesh, chunk=16)
     post_seq = np.asarray(decoders.posterior(a, bfull, pi, tokens[None]))[:, 0, :]
     np.testing.assert_allclose(post_sh, post_seq, rtol=5e-6, atol=1e-9)
+
+
+def test_sharded_viterbi_long_matches_sequential():
+    from itrails_tpu.hmm.longseq_sharded import sharded_viterbi_long
+
+    a, bfull, pi = _model()
+    mesh = data_mesh()
+    rng = np.random.default_rng(25)
+    for t_len, chunk in ((1200, 16), (257, 8), (2, 8)):
+        tokens = jnp.asarray(rng.integers(0, 625, size=t_len), jnp.int32)
+        path_sh = sharded_viterbi_long(a, bfull, pi, tokens, mesh, chunk=chunk)
+        path_ref = np.asarray(decoders.viterbi(a, bfull, pi, tokens[None]))[0]
+        np.testing.assert_array_equal(path_sh, path_ref,
+                                      err_msg=f"T={t_len} chunk={chunk}")
