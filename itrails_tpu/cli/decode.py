@@ -100,7 +100,7 @@ def write_hidden_states(path, model, setup, first_interval_from_ab: bool):
 
 # Blocks longer than this decode via the sequence-parallel path (the
 # window-batch scan is latency-bound at 1 window; see hmm/longseq.py).
-LONG_BLOCK_THRESHOLD = 262_144
+LONG_BLOCK_THRESHOLD = windows.LONG_BLOCK_THRESHOLD
 
 
 def _split_by_length(v_lst):

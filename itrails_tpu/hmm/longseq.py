@@ -31,8 +31,8 @@ from jax import lax
 
 from itrails_tpu.data.tokens import PAD_TOKEN
 
-__all__ = ["forward_loglik_long", "posterior_long", "chunk_operators",
-           "viterbi_segmented"]
+__all__ = ["forward_loglik_long", "forward_loglik_long_remat",
+           "posterior_long", "chunk_operators", "viterbi_segmented"]
 
 
 def chunk_operators(a, bfull, tokens, chunk: int):
@@ -197,6 +197,77 @@ def forward_loglik_long(a, bfull, pi, tokens, chunk: int = 256):
     alpha0 = pi * bfull.T[jnp.maximum(first, 0)]
     total = jnp.sum(alpha0 @ g)
     return jnp.log(total) + z
+
+
+def forward_loglik_long_remat(a, bfull, pi, tokens, chunk: int = 512,
+                              seg_chunks: int = 64, inner: int = 32):
+    """Reverse-differentiable sequence-parallel log-likelihood of one long
+    block, with BOUNDED gradient memory (matches forward_loglik_long).
+
+    Structure: an outer scan over segments of ``seg_chunks * chunk``
+    columns whose carry is just the rescaled (M,) alpha vector; the segment
+    body (checkpointed) computes its chunk transfer operators with a nested
+    inner checkpoint every ``inner`` columns.  Reverse-mode memory is
+    O(n_seg*M + (chunk/inner + inner)*seg_chunks*M^2) regardless of T —
+    the scan-of-checkpointed-scans analogue of hmm.grad.forward_loglik_remat
+    for the operator formulation.
+    """
+    t_len = tokens.shape[0]
+    m = a.shape[0]
+    first = tokens[0]
+    alpha0 = pi * bfull.T[jnp.maximum(first, 0)]
+    s0 = jnp.maximum(jnp.sum(alpha0), jnp.finfo(a.dtype).tiny)
+    carry0 = (alpha0 / s0, jnp.log(s0))
+
+    stream_len = t_len - 1
+    if stream_len == 0:
+        al, logz = carry0
+        return jnp.log(jnp.sum(al)) + logz
+    seg_cols = seg_chunks * chunk
+    n_seg = max(-(-stream_len // seg_cols), 1)
+    padded = n_seg * seg_cols
+    stream = jnp.concatenate(
+        [tokens[1:], jnp.full((padded - stream_len,), PAD_TOKEN, tokens.dtype)]
+    )
+    # (n_seg, chunk/inner, inner, seg_chunks): column-major over each
+    # chunk's time axis, chunks on the trailing (batch) axis
+    segs = stream.reshape(n_seg, seg_chunks, chunk // inner, inner)
+    segs = segs.transpose(0, 2, 3, 1)
+
+    def col_step(g, t_col):
+        e = bfull.T[jnp.maximum(t_col, 0)]  # (seg_chunks, M)
+        new = (g @ a) * e[:, None, :]
+        z = jnp.maximum(jnp.max(new, axis=(1, 2), keepdims=True),
+                        jnp.finfo(new.dtype).tiny)
+        valid = (t_col != PAD_TOKEN)[:, None, None]
+        return jnp.where(valid, new / z, g), jnp.where(
+            valid[:, 0, 0], jnp.log(z[:, 0, 0]), 0.0)
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def inner_body(carry, cols):  # cols: (inner, seg_chunks)
+        g, logz = carry
+
+        def step(c, t_col):
+            g, lz = c
+            g, dlz = col_step(g, t_col)
+            return (g, lz + dlz), None
+
+        return lax.scan(step, (g, logz), cols)[0], None
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def seg_body(carry, seg_tok):  # seg_tok: (chunk/inner, inner, seg_chunks)
+        al, logz = carry
+        g0 = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype),
+                              (seg_chunks, m, m))
+        lz0 = jnp.zeros((seg_chunks,), a.dtype)
+        (ops, lz), _ = lax.scan(inner_body, (g0, lz0), seg_tok)
+        g_all, z_all = lax.associative_scan(_combine, (ops, lz))
+        nx = al @ g_all[-1]
+        s = jnp.maximum(jnp.sum(nx), jnp.finfo(a.dtype).tiny)
+        return (nx / s, logz + z_all[-1] + jnp.log(s)), None
+
+    (al, logz), _ = lax.scan(seg_body, carry0, segs)
+    return jnp.log(jnp.maximum(jnp.sum(al), jnp.finfo(a.dtype).tiny)) + logz
 
 
 def viterbi_long(a, bfull, pi, tokens, chunk: int = 256):

@@ -27,8 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from itrails_tpu.data.tokens import PAD_TOKEN
 from itrails_tpu.hmm.longseq import _combine, chunk_operators
 
-__all__ = ["sharded_forward_loglik_long", "sharded_posterior_long",
-           "sharded_viterbi_long"]
+__all__ = ["sharded_forward_loglik_long", "sharded_forward_loglik_long_fn",
+           "sharded_posterior_long", "sharded_viterbi_long"]
 
 
 def _pad_stream(tokens, chunk: int, n_dev: int):
@@ -56,13 +56,12 @@ def _vnorm(v):
     return v / z
 
 
-def sharded_forward_loglik_long(a, bfull, pi, tokens, mesh: Mesh,
-                                chunk: int = 256):
-    """Log-likelihood of ONE long (T,) token sequence, chunks sharded over
-    the mesh.  Matches longseq.forward_loglik_long to fp tolerance."""
+@functools.lru_cache(maxsize=16)
+def sharded_forward_loglik_long_fn(mesh: Mesh, chunk: int = 256):
+    """Cached jitted kernel for :func:`sharded_forward_loglik_long`
+    (build once per (mesh, chunk) so per-optimizer-eval calls reuse the
+    compiled executable)."""
     n_dev = mesh.devices.size
-    first, tok = _pad_stream(tokens, chunk, n_dev)
-    tok = jax.device_put(tok, NamedSharding(mesh, P("data", None)))
 
     @jax.jit
     @functools.partial(
@@ -84,7 +83,17 @@ def sharded_forward_loglik_long(a, bfull, pi, tokens, mesh: Mesh,
         alpha0 = pi * bfull.T[jnp.maximum(first, 0)]
         return jnp.log(jnp.sum(alpha0 @ g)) + z
 
-    return f(a, bfull, pi, first, tok)
+    return f
+
+
+def sharded_forward_loglik_long(a, bfull, pi, tokens, mesh: Mesh,
+                                chunk: int = 256):
+    """Log-likelihood of ONE long (T,) token sequence, chunks sharded over
+    the mesh.  Matches longseq.forward_loglik_long to fp tolerance."""
+    n_dev = mesh.devices.size
+    first, tok = _pad_stream(tokens, chunk, n_dev)
+    tok = jax.device_put(tok, NamedSharding(mesh, P("data", None)))
+    return sharded_forward_loglik_long_fn(mesh, chunk)(a, bfull, pi, first, tok)
 
 
 def _alpha_beta_sharded(mesh: Mesh, n_dev: int, m: int):

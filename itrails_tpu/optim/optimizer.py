@@ -15,6 +15,7 @@ update.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -38,19 +39,52 @@ def write_list(lst, path):
         f.write(",".join(str(x) for x in lst) + "\n")
 
 
+def _acc4(acc, new):
+    """Accumulate (ll, da, db, dpi) tuples (None-initialised)."""
+    if acc[0] is None:
+        return new
+    return tuple(x + y for x, y in zip(acc, new))
+
+
 class LoglikEngine:
-    """Packs alignment blocks once and evaluates total forward log-likelihood
-    for a parameter dictionary with two jitted calls (model build + sharded
-    decode)."""
+    """Packs alignment blocks once and evaluates the total forward
+    log-likelihood for a parameter dictionary.
+
+    Whole-genome layouts: short blocks are grouped into power-of-two
+    length-class buckets (windows.plan_buckets) so one chromosome-scale
+    block never forces T_max padding on kilobase blocks, and blocks above
+    ``long_threshold`` columns are evaluated exactly through the
+    sequence-parallel transfer-operator path (hmm/longseq*.py) — mesh-
+    sharded when more than one device is present.  Every block keeps its
+    exact recurrence (no splitting), so the total equals the single-batch
+    log-likelihood up to float summation order.  The reference's only
+    parallel axis is one joblib process per block (reference
+    optimizer.py:56-62)."""
 
     def __init__(self, v_lst, n_int_AB, n_int_ABC, dtype="float64",
-                 mesh=None, max_window_len=None, introgression=False):
+                 mesh=None, long_threshold=windows.LONG_BLOCK_THRESHOLD,
+                 chunk=1024, introgression=False):
+        from itrails_tpu.hmm import longseq, longseq_sharded
+
         self.mesh = sharding.data_mesh() if mesh is None else mesh
         n_dev = self.mesh.devices.size
-        self.tokens, self.lengths, self.owner = windows.pack_windows(
-            v_lst, pad_windows_to=n_dev, max_window_len=max_window_len
+        lengths = [len(v) for v in v_lst]
+        self._n_columns = int(sum(lengths))
+        bucket_idx, long_idx = windows.plan_buckets(
+            lengths, n_dev, long_threshold
         )
-        self.tokens = sharding.shard_batch(jnp.asarray(self.tokens), self.mesh)
+        self.buckets = []
+        for idxs in bucket_idx:
+            tokens, _, _ = windows.pack_windows(
+                [v_lst[i] for i in idxs], pad_windows_to=n_dev,
+                pad_length_to=128,
+            )
+            self.buckets.append(
+                sharding.shard_batch(jnp.asarray(tokens), self.mesh)
+            )
+        self.long_blocks = [
+            jnp.asarray(np.asarray(v_lst[i], np.int32)) for i in long_idx
+        ]
         self.n_int_AB = n_int_AB
         self.n_int_ABC = n_int_ABC
         self.dtype = dtype
@@ -65,10 +99,36 @@ class LoglikEngine:
             self._builder = build_model_fn(n_int_AB, n_int_ABC, dtype)
         self._agg = jnp.asarray(aggregation_matrix())
         self._loglik = sharding.sharded_loglik_fn(self.mesh)
+        self._chunk = chunk
+        if n_dev > 1:
+            self._long_fn = functools.partial(
+                longseq_sharded.sharded_forward_loglik_long,
+                mesh=self.mesh, chunk=chunk,
+            )
+        else:
+            self._long_fn = jax.jit(
+                functools.partial(longseq.forward_loglik_long, chunk=chunk)
+            )
+        self._long_vg = jax.jit(jax.value_and_grad(
+            functools.partial(longseq.forward_loglik_long_remat, chunk=chunk),
+            argnums=(0, 1, 2),
+        ))
 
     @property
     def n_columns(self) -> int:
-        return int(self.lengths.sum())
+        return self._n_columns
+
+    def _decode(self, a, bfull, pi):
+        """Total log-likelihood over all buckets and long blocks (jax
+        scalar)."""
+        parts = [self._loglik(a, bfull, pi, tok) for tok in self.buckets]
+        parts += [self._long_fn(a, bfull, pi, tok) for tok in self.long_blocks]
+        if not parts:
+            return jnp.zeros((), bfull.dtype)
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return total
 
     def loglik_and_grad_fn(self, optim_variables, fixed_params, case,
                            resolver):
@@ -115,10 +175,18 @@ class LoglikEngine:
             with jax.default_device(cpu), native_solves(True):
                 (a, b, pi), build_vjp = jax.vjp(build_from_vec, vec)
             bfull = decoders.emission_table(b.astype(cast), agg.astype(cast))
-            ll, (da, dbfull, dpi) = decode_vg(
-                a.astype(cast), bfull.astype(cast), pi.astype(cast),
-                self.tokens,
-            )
+            ac, bc, pc = a.astype(cast), bfull.astype(cast), pi.astype(cast)
+            ll = da = dbfull = dpi = None
+            for tok in self.buckets:
+                l_, (da_, db_, dp_) = decode_vg(ac, bc, pc, tok)
+                ll, da, dbfull, dpi = _acc4(
+                    (ll, da, dbfull, dpi), (l_, da_, db_, dp_)
+                )
+            for tok in self.long_blocks:
+                l_, (da_, db_, dp_) = self._long_vg(ac, bc, pc, tok)
+                ll, da, dbfull, dpi = _acc4(
+                    (ll, da, dbfull, dpi), (l_, da_, db_, dp_)
+                )
             db = jnp.asarray(dbfull, jnp.float64) @ jnp.asarray(
                 agg, jnp.float64
             )
@@ -147,7 +215,7 @@ class LoglikEngine:
             )
         cast = jnp.dtype(self.dtype)
         bfull = decoders.emission_table(b.astype(cast), self._agg.astype(cast))
-        return float(self._loglik(a.astype(cast), bfull, pi.astype(cast), self.tokens))
+        return float(self._decode(a.astype(cast), bfull, pi.astype(cast)))
 
 
 def optimizer(
