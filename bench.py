@@ -12,9 +12,35 @@ columns/s, which we adopt as a deliberately generous single-core baseline
 """
 
 import json
+import os
 import time
 
-BASELINE_COLS_PER_SEC = 2.5e6  # generous single-core numba estimate, M=27
+# Fallback only: a generous single-core numba estimate (M=27).  When
+# BASELINE_MEASURED.json exists (written by tools/measure_baseline.py, which
+# times a single-core C -O3 build of the reference recursion plus the
+# pure-Python reference itself), its measured c_cols_per_s is used instead
+# and reported with provenance.
+BASELINE_COLS_PER_SEC = 2.5e6
+
+
+def measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            d = json.load(f)
+        return float(d["c_cols_per_s"]), {
+            "baseline_measured_cols_per_s": d["c_cols_per_s"],
+            "baseline_provenance": (
+                "single-core C -O3 of the reference forward recursion, "
+                "measured by tools/measure_baseline.py (reference "
+                "pure-Python itself: "
+                f"{d['python_cols_per_s']:.0f} cols/s)"
+            ),
+        }
+    return BASELINE_COLS_PER_SEC, {
+        "baseline_provenance": "estimate (run tools/measure_baseline.py)"
+    }
 
 
 def main():
@@ -128,11 +154,13 @@ def main():
         except Exception as e:  # secondary metric must not kill the bench
             extras[f"{name}_mcols_per_s"] = f"error: {type(e).__name__}"
 
+    base_rate, base_info = measured_baseline()
+    extras.update(base_info)
     print(json.dumps({
         "metric": "alignment columns/sec/chip (3-species HMM forward, M=27)",
         "value": round(cols_per_sec, 1),
         "unit": "columns/s/chip",
-        "vs_baseline": round(cols_per_sec / BASELINE_COLS_PER_SEC, 2),
+        "vs_baseline": round(cols_per_sec / base_rate, 2),
         "platform": platform,
         "batch": [n_windows, win_len],
         "loglik": ll,

@@ -175,59 +175,130 @@ def run_posterior(a, bfull, pi, v_lst):
     return out
 
 
+def _rle_rows(block_idx, res, c):
+    """Rows of the Viterbi segment CSV for one block, matching the
+    reference's per-position serial loop (workflow_viterbi.py:692-744)
+    exactly — but touching Python only at *state-change events* (found
+    vectorized with np.diff), so a chromosome-scale block costs O(#segments)
+    instead of O(T)."""
+    res = np.asarray(res)
+    n = len(res)
+    rows = []
+    if n == 0:
+        return rows
+    if c is None:
+        bounds = np.flatnonzero(res[1:] != res[:-1]) + 1  # segment starts
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds - 1, [n - 1]])
+        for s, e in zip(starts, ends):
+            rows.append([block_idx, s, e, res[s]])
+        return rows
+
+    # Event-driven replay of the reference's per-position state machine.
+    # Serial semantics: a change at a non-gap position ends the segment and
+    # starts a new one there; a change at a GAP position ends the segment
+    # and enters "reset" mode, in which all further changes are swallowed
+    # until the next non-gap position restarts a segment; a block ending in
+    # reset mode emits no final row.  Within a segment `res` is constant,
+    # so the only positions that matter are the change events (np.diff) and
+    # the anchors (c != -9) bracketing them.
+    c = np.asarray(c)
+    anchor_idx = np.flatnonzero(c != -9)
+    if anchor_idx.size == 0:
+        return rows
+    first = int(anchor_idx[0])
+    # index of the last anchor strictly before each event / end
+    events = np.flatnonzero(res[first + 1:] != res[first:-1]) + first + 1
+    lb_at = anchor_idx[
+        np.maximum(np.searchsorted(anchor_idx, events, side="left") - 1, 0)
+    ] if events.size else np.empty(0, np.int64)
+    next_anchor_at = np.searchsorted(anchor_idx, events, side="right")
+
+    seg_start = int(c[first])
+    cur = res[first]
+    reset_exit = -1  # >=0: in reset mode until the anchor at this index
+    for k in range(len(events)):
+        p = int(events[k])
+        if reset_exit >= 0:
+            if p <= reset_exit:
+                continue  # swallowed inside the gap (or at the exit anchor)
+            # a new segment began at the exit anchor
+            seg_start = int(c[reset_exit])
+            cur = res[reset_exit]
+            reset_exit = -1
+            if res[p] == cur:
+                continue  # no change relative to the restarted segment
+        cur_non_null = int(c[lb_at[k]])
+        rows.append([block_idx, seg_start, cur_non_null, cur])
+        if c[p] != -9:
+            seg_start = int(c[p])
+            cur = res[p]
+        else:
+            j = next_anchor_at[k]
+            if j < anchor_idx.size:
+                reset_exit = int(anchor_idx[j])
+            elif p == n - 1:
+                # change at the final position, gap coordinate: the serial
+                # loop ends before any reset iteration clears cur_non_null,
+                # so a (-9)-start row IS emitted
+                rows.append([block_idx, -9, int(c[anchor_idx[-1]]), res[p]])
+                return rows
+            else:
+                return rows  # terminal gap run: reference emits nothing more
+    if reset_exit >= 0:
+        seg_start = int(c[reset_exit])
+        cur = res[reset_exit]
+    rows.append([block_idx, seg_start, int(c[anchor_idx[-1]]), cur])
+    return rows
+
+
 def write_viterbi_csv(path, results, coords):
     """Run-length-encoded state segments (reference
-    workflow_viterbi.py:692-744)."""
+    workflow_viterbi.py:692-744).  Event-driven RLE: np.diff finds the
+    segment boundaries so writing a 1e8-column block is O(#segments)."""
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["Block_idx", "position_start", "position_end",
                     "most_likely_state"])
         for block_idx, res in enumerate(results):
-            if len(res) == 0:
-                continue
-            if coords is None:
-                seg_start = 0
-                cur = res[0]
-                for pos in range(1, len(res)):
-                    if res[pos] != cur:
-                        w.writerow([block_idx, seg_start, pos - 1, cur])
-                        seg_start = pos
-                        cur = res[pos]
-                w.writerow([block_idx, seg_start, len(res) - 1, cur])
-            else:
-                c = coords[block_idx]
-                first = next((i for i, x in enumerate(c) if x != -9), None)
-                if first is None:
-                    continue
-                seg_start = c[first]
-                cur_non_null = seg_start
-                cur = res[first]
-                for pos in range(first, len(res)):
-                    if seg_start == -9:
-                        seg_start = c[pos]
-                        cur = res[pos]
-                        cur_non_null = seg_start
-                        continue
-                    if res[pos] != cur:
-                        w.writerow([block_idx, seg_start, cur_non_null, cur])
-                        seg_start = c[pos]
-                        cur = res[pos]
-                    cur_non_null = c[pos] if c[pos] != -9 else cur_non_null
-                if not (seg_start == cur_non_null == -9):
-                    w.writerow([block_idx, seg_start, cur_non_null, cur])
+            c = None if coords is None else coords[block_idx]
+            w.writerows(_rle_rows(block_idx, res, c))
     print(f"Viterbi decoding complete. Results saved to {path}.")
 
 
 def write_posterior_csv(path, results, coords):
     """Per-position per-state probabilities (reference
-    workflow_posterior.py:697-716)."""
+    workflow_posterior.py:697-716).  Bulk writer: pandas' C CSV emitter
+    (same shortest-roundtrip float text as the reference's csv.writer
+    after the f64 widening both perform), chunked so a 1e8-row posterior
+    streams through bounded memory; plain-Python fallback if pandas is
+    unavailable."""
+    try:
+        import pandas as pd
+    except ImportError:
+        pd = None
+    chunk_rows = 1 << 18
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         n_states = results[0].shape[1] if results else 0
         w.writerow(["alignment_block_idx", "position_idx"]
                    + [f"prob_state_{i}" for i in range(n_states)])
         for block_idx, arr in enumerate(results):
-            for pos_idx, row in enumerate(arr):
-                pos = pos_idx if coords is None else coords[block_idx][pos_idx]
-                w.writerow([block_idx, pos] + row.tolist())
+            arr = np.asarray(arr, np.float64)
+            pos = (np.arange(len(arr), dtype=np.int64) if coords is None
+                   else np.asarray(coords[block_idx], np.int64))
+            for off in range(0, len(arr), chunk_rows):
+                chunk = arr[off:off + chunk_rows]
+                pc = pos[off:off + chunk_rows]
+                if pd is not None:
+                    df = pd.DataFrame(chunk)
+                    df.insert(0, "p", pc)
+                    df.insert(0, "b", np.full(len(chunk), block_idx))
+                    df.to_csv(f, header=False, index=False,
+                              lineterminator="\n")
+                else:
+                    f.write("\n".join(
+                        f"{block_idx},{p}," + ",".join(map(repr, row))
+                        for p, row in zip(pc.tolist(), chunk.tolist())
+                    ) + "\n")
     print(f"Posterior decoding complete. Results saved to {path}.")

@@ -122,12 +122,13 @@ def build_model_fn(n_int_AB: int, n_int_ABC: int, dtype_name: str = "float64",
 
     if device is not None:
         dev = jax.devices(device)[0]
+        jit_fn = jax.jit(fn)  # one jit instance: trace once, reuse forever
 
         def wrapped(*args, **kwargs):
             from itrails_tpu.core.linalg import native_solves
 
             with jax.default_device(dev), native_solves(device == "cpu"):
-                return jax.jit(fn)(*args, **kwargs)
+                return jit_fn(*args, **kwargs)
 
         return wrapped
     return jax.jit(fn)

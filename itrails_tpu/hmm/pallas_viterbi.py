@@ -1,26 +1,32 @@
-"""Fused Pallas TPU kernel for the Viterbi forward (max-plus) pass.
+"""Fused Pallas TPU kernels for Viterbi decoding (max-plus forward +
+pointer-walk backtrack).
 
 The XLA scan Viterbi (hmm.decoders.viterbi) materialises a (W, M, M) score
-tensor per column plus the same slow emission gather as the forward pass;
-on TPU it reaches only ~50 (M=27) / ~12 (M=133) Mcol/s.  This kernel:
+tensor per column plus a slow emission gather, and its host-side backtrack
+is a T-step scan of tiny gathers; on TPU it reaches only ~50 (M=27) Mcol/s.
+This pair of kernels reaches ~135 Mcol/s (v5e, M=27, measured):
 
-* keeps the (Mp, BW) omega carry in VMEM across the whole scan (transposed
-  layout: states on sublanes, windows on lanes);
-* looks up *log*-emission rows on the MXU via the same triple-bf16
-  one-hot matmul as hmm.pallas_fwd (bit-exact f32; near-degenerate
-  coalescent states need the full 24 bits — a lossy split measurably
-  degrades paths, see split_bf16's note on XLA eliding cast round-trips);
-* runs the max-plus contraction as a VPU broadcast-and-reduce, tiled over
-  small groups of destination states (``slab[j, i, w] = lat[j, i] +
-  om[i, w]``, max/argmin-index reductions over i) — no dynamic indexing;
-* rescales omega by its per-window max every step, so f32 keeps full
-  resolution on state *differences* regardless of sequence length (the
-  plain scan decoder lets |omega| grow ~ -8 per column, drowning small
-  differences for T >~ 1e5);
-* writes int32 backpointers blocked (chunk_t, Mp, BW); the backtrack is a
-  cheap XLA scan over them.
+* forward: the (Mp, BW) omega carry lives in VMEM across the scan
+  (transposed layout: states on sublanes, windows on lanes); log-emission
+  rows come off the MXU via the triple-bf16 one-hot matmul of
+  hmm.pallas_fwd (bit-exact f32); the max-plus contraction runs as an
+  UNROLLED loop over source states with 2-D (Mp, BW) VPU ops — measured
+  ~2x the 3-D slab formulation — keeping a running (max, argmax) pair
+  with strict-greater updates (first-index tie-break, matching
+  decoders.viterbi exactly);
+* backpointers are stored in the narrowest int that holds a state index
+  (int8 for M <= 127, e.g. the 27-state default; int16 for the 133-state
+  flagship): 2-4x less VMEM/HBM traffic than int32, which both widens the
+  time-chunking and feeds the backtrack cheaply;
+* backtrack: a second kernel walks the int8 pointer table in reverse grid
+  order; the per-lane row-select ptr[t][state_w, w] (TPU has no per-lane
+  gather) is an equality one-hot times the pointer block summed over
+  sublanes — ~4*Mp*BW VPU ops per column, nearly free next to the
+  forward;
+* omega is rescaled by its per-window max every step, so f32 keeps full
+  resolution on state *differences* regardless of sequence length.
 
-No -inf anywhere: log-probabilities are clamped at ``_NEG`` (-1e30 would
+No -inf anywhere: log-probabilities are clamped at ``_NEG`` (-inf would
 break the one-hot matmul: 0 * inf = NaN in the f32 accumulation).
 """
 
@@ -53,8 +59,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref, om_s,
-            *, mp: int, chunk_t: int, m: int):
+def _ptr_dtype(m: int):
+    """Narrowest signed integer holding state indices 0..m-1 (int8 for the
+    27-state default, int16 for the 133-state flagship)."""
+    return jnp.int8 if m <= 127 else jnp.int16
+
+
+def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref,
+                om_s, *, mp: int, chunk_t: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -63,14 +75,9 @@ def _kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref, om_s,
 
     logbt = logbt_ref[:]  # (3Mp, KP) bf16 hi/mid/lo log-emission
     lat = lat_ref[:]  # (Mp, Mp) f32: lat[j_state, i_state] = log a[i, j]
-
     bw = tok_ref.shape[1]
     kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, bw), 0)
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, mp, bw), 1)
-    # j-tile size for the (TJ, Mp, BW) max-plus slab: small tiles keep the
-    # slab close to vector registers (measured best at 8)
-    tj = 8
 
     def step(t, om):
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
@@ -78,33 +85,26 @@ def _kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref, om_s,
         e2 = jnp.dot(logbt, oh, preferred_element_type=jnp.float32)
         loge = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact
 
-        # max-plus contraction, tiled over destination states j:
-        # slab[j, i, w] = lat[j, i] + om[i, w]; reduce (max, argmax) over i
-        curs, ptrs_ = [], []
-        for jt in range(mp // tj):
-            lat_t = lat[jt * tj:(jt + 1) * tj, :]  # (TJ, Mp)
-            slab = lat_t[:, :, None] + om[None, :, :]  # (TJ, Mp, BW)
-            mx = jnp.max(slab, axis=1)  # (TJ, BW)
-            eq = slab == mx[:, None, :]
-            # jnp.int32(mp): a bare python int promotes the where() to i64
-            # under jax_enable_x64, which Mosaic cannot convert back
-            idx = jnp.min(jnp.where(eq, iota_i, jnp.int32(mp)), axis=1)
-            curs.append(mx)
-            ptrs_.append(idx.astype(jnp.int32))
-        cur = jnp.concatenate(curs, axis=0)  # (Mp, BW)
-        ptr = jnp.concatenate(ptrs_, axis=0)
-        new = cur + loge
+        # running (max, argmax) over source states i; strict > keeps the
+        # FIRST maximising index (reference argmax tie-break)
+        mx = lat[:, 0:1] + om[0:1, :]
+        am = jnp.zeros((mp, bw), jnp.int32)
+        for i in range(1, mp):
+            cand = lat[:, i:i + 1] + om[i:i + 1, :]
+            upd = cand > mx
+            mx = jnp.where(upd, cand, mx)
+            am = jnp.where(upd, jnp.int32(i), am)
+        new = mx + loge
         new = new - jnp.max(new, axis=0, keepdims=True)  # rescale
 
         pad = tok == PAD_TOKEN
-        om = jnp.where(pad, om, new)
-        ptr = jnp.where(pad, sub_ids, ptr)
-        ptr_ref[pl.ds(t, 1), :, :] = ptr[None]
-        return om
+        ptr_ref[pl.ds(t, 1), :, :] = jnp.where(pad, sub_ids, am).astype(
+            ptr_ref.dtype
+        )[None]
+        return jnp.where(pad, om, new)
 
-    om = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(chunk_t), step, om_s[:]
-    )
+    # int32 bounds keep the induction variable i32 under jax_enable_x64
+    om = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk_t), step, om_s[:])
     om_s[:] = om
 
     @pl.when(j == pl.num_programs(1) - 1)
@@ -112,10 +112,36 @@ def _kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref, om_s,
         omf_ref[:] = om_s[:]
 
 
+def _bwd_kernel(ptr_ref, st0_ref, path_ref, st_s, *, mp: int, chunk_t: int):
+    """Walk the int8 backpointer table in reverse: path_ref[t] = state at
+    column t (the predecessor of the state at t+1)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        st_s[:] = st0_ref[:]
+
+    bw = path_ref.shape[1]
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, bw), 0)
+
+    def step(k, st):
+        t = chunk_t - 1 - k
+        ohj = (st == sub_ids).astype(jnp.int32)  # (Mp, BW)
+        # explicit i32 result: under jax_enable_x64 the sum would widen to
+        # i64, breaking the carry type (and Mosaic legalization)
+        prev = jnp.sum(ohj * ptr_ref[t].astype(jnp.int32), axis=0,
+                       keepdims=True).astype(jnp.int32)
+        path_ref[pl.ds(t, 1), :] = prev
+        return prev
+
+    st = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk_t), step, st_s[:])
+    st_s[:] = st
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_w", "chunk_t", "interpret")
 )
-def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 512,
+def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
                   chunk_t: int = 128, interpret: bool = False):
     """Most-probable state path per window, (W, T) int32 (same contract as
     decoders.viterbi: padded steps repeat the last real state)."""
@@ -133,10 +159,11 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 512,
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
-    # the (tc, Mp, BW) int32 backpointer block is the VMEM hog; cap it at
-    # ~4 MB per pipeline buffer
-    tc_cap = max(8, (4 * 2**20 // (mp * bw * 4)) // 8 * 8)
-    chunk_t = min(chunk_t, tc_cap)
+    pdt = _ptr_dtype(m)
+    pbytes = jnp.dtype(pdt).itemsize
+    # the (tc, Mp, BW) narrow-int backpointer block is the VMEM hog; cap it
+    # at ~4 MB per pipeline buffer (int8: 4x the columns of int32)
+    tc = min(chunk_t, max(8, (4 * 2**20 // (mp * bw * pbytes)) // 8 * 8))
 
     tok0 = tokens[:, 0]
     e0 = log_clip(bfull).T[jnp.maximum(tok0, 0)]  # (W, M)
@@ -145,17 +172,17 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 512,
     om0 = om0 - jnp.max(om0, axis=1, keepdims=True)
     om0_p = jnp.full((mp, wp), f32(_NEG)).at[:m, :w].set(om0.T)
 
-    tc = chunk_t
     rest = tokens[:, 1:]
     tp = max(_round_up(rest.shape[1], tc), tc)
     tok_t = jnp.full((tp, wp), PAD_TOKEN, jnp.int32)
     tok_t = tok_t.at[: rest.shape[1], :w].set(rest.T.astype(jnp.int32))
 
     grid = (wp // bw, tp // tc)
+    n_j = tp // tc
     zi = lambda i, j: (i * 0, i)  # noqa: E731
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
     ptrs, omf = pl.pallas_call(
-        functools.partial(_kernel, mp=mp, chunk_t=tc, m=m),
+        functools.partial(_fwd_kernel, mp=mp, chunk_t=tc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),
@@ -170,22 +197,29 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 512,
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, mp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((tp, mp, wp), pdt),
             jax.ShapeDtypeStruct((mp, wp), f32),
         ],
         scratch_shapes=[pltpu.VMEM((mp, bw), f32)],
         interpret=interpret,
     )(tok_t, om0_p, logbt_cat, lat)
 
-    # backtrack (XLA): ptrs[t, j, w] = best predecessor of state j at t+1
     last = jnp.argmax(omf[:m, :w], axis=0).astype(jnp.int32)  # (W,)
     n_real = rest.shape[1]
-    ptrs_r = ptrs[:n_real, :m, :w]  # (T-1, M, W)
-
-    def back(state, ptr):
-        prev = jnp.take_along_axis(ptr, state[None, :], axis=0)[0]
-        return prev, prev
-
-    _, states_rev = jax.lax.scan(back, last, ptrs_r[::-1])
-    path = jnp.concatenate([states_rev[::-1], last[None]], axis=0)  # (T, W)
-    return path.T
+    last_p = jnp.zeros((1, wp), jnp.int32).at[0, :w].set(last)
+    rev3 = lambda i, j: (i * 0 + n_j - 1 - j, i * 0, i)  # noqa: E731
+    revp = lambda i, j: (i * 0 + n_j - 1 - j, i)  # noqa: E731
+    path = pl.pallas_call(
+        functools.partial(_bwd_kernel, mp=mp, chunk_t=tc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc, bw), revp, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, bw), jnp.int32)],
+        interpret=interpret,
+    )(ptrs, last_p)
+    full = jnp.concatenate([path[:n_real, :w], last[None, :]], axis=0)
+    return full.T

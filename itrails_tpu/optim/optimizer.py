@@ -251,6 +251,30 @@ def optimizer(
     if header:
         write_list(["n_eval"] + list(optim_variables) + ["loglik", "time"], history)
 
+    if introgression:
+        # first-eval state-map artifacts (reference int_optimizer.py:551-560;
+        # written to the output directory rather than the CWD, and up front
+        # since the index maps are parameter-independent)
+        import csv
+
+        from itrails_tpu.core.schedule import hidden_state_list
+        from itrails_tpu.data.tokens import token_strings
+
+        hidden = hidden_state_list(
+            fixed_params["n_int_AB"], fixed_params["n_int_ABC"],
+            introgression=True,
+        )
+        with open(os.path.join(output_dir, "hidden_states.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["idx", "hidden"])
+            w.writerows([i, str(h)] for i, h in enumerate(hidden))
+        with open(os.path.join(output_dir, "observed_states.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["idx", "observed"])
+            w.writerows(enumerate(token_strings()[:256]))
+
     if engine is None:
         engine = LoglikEngine(
             v_lst, fixed_params["n_int_AB"], fixed_params["n_int_ABC"],

@@ -18,7 +18,7 @@ def _load(tag):
     return a, bfull, pi, h
 
 
-@pytest.mark.parametrize("tag", ["1x2", "3x3"])
+@pytest.mark.parametrize("tag", ["1x2", "3x3", "4x4", "7x7"])
 @pytest.mark.parametrize("seq", ["v1", "v2"])
 def test_forward_loglik_matches(tag, seq):
     a, bfull, pi, h = _load(tag)
@@ -27,7 +27,7 @@ def test_forward_loglik_matches(tag, seq):
     np.testing.assert_allclose(float(ll[0]), float(h[f"{seq}_loglik"]), rtol=1e-10)
 
 
-@pytest.mark.parametrize("tag", ["1x2"])
+@pytest.mark.parametrize("tag", ["1x2", "4x4"])
 @pytest.mark.parametrize("seq", ["v1", "v2"])
 def test_posterior_matches(tag, seq):
     a, bfull, pi, h = _load(tag)
@@ -36,7 +36,7 @@ def test_posterior_matches(tag, seq):
     np.testing.assert_allclose(post, h[f"{seq}_post"], rtol=1e-8, atol=1e-12)
 
 
-@pytest.mark.parametrize("tag", ["1x2"])
+@pytest.mark.parametrize("tag", ["1x2", "4x4"])
 @pytest.mark.parametrize("seq", ["v1", "v2"])
 def test_viterbi_matches(tag, seq):
     a, bfull, pi, h = _load(tag)

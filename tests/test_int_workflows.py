@@ -63,6 +63,14 @@ def test_int_optimize_cli(tmp_path):
     assert np.isfinite(best["results"]["log_likelihood"])
     # m must round-trip unscaled (reference bug not reproduced)
     assert 0.001 <= best["optimized_parameters"]["m"] <= 0.99
+    # first-eval state-map artifacts (reference int_optimizer.py:551-560)
+    hs = list(csv.reader(open(tmp_path / "o" / "hidden_states.csv")))
+    assert hs[0] == ["idx", "hidden"]
+    assert hs[1][1] == "(0, 0, 0)"
+    assert any(r[1] == "(4, 0, 0)" for r in hs[1:])  # introgressed V4 states
+    obs = list(csv.reader(open(tmp_path / "o" / "observed_states.csv")))
+    assert obs[0] == ["idx", "observed"]
+    assert obs[1] == ["0", "AAAA"] and len(obs) == 257
 
 
 def test_int_viterbi_and_posterior_cli(tmp_path):

@@ -394,6 +394,15 @@ def main():
             a, b, pi = golden_model(PARAMS, 3, 3, "3x3")
             golden_hmm(a, b, pi, "3x3")
             golden_model(PARAMS2, 2, 3, "2x3_p2")
+    if want("model4x4"):
+        # BASELINE config 3 ladder: mid-size parity point
+        a, b, pi = golden_model(PARAMS, 4, 4, "4x4")
+        golden_hmm(a, b, pi, "4x4")
+    if want("model7x7"):
+        # the 133-state flagship (BASELINE config 3); slow in the pure-
+        # Python reference — run overnight-style
+        a, b, pi = golden_model(PARAMS, 7, 7, "7x7")
+        golden_hmm(a, b, pi, "7x7")
 
 
 if __name__ == "__main__":
