@@ -154,6 +154,61 @@ def main():
         except Exception as e:  # secondary metric must not kill the bench
             extras[f"{name}_mcols_per_s"] = f"error: {type(e).__name__}"
 
+    # flagship 7x7 config (BASELINE config 3: 133 hidden states)
+    try:
+        t0 = time.time()
+        m133 = build_model(
+            t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004,
+            t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
+            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device="cpu",
+        )
+        extras["m133_build_s_first"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        m133 = build_model(
+            t_A=0.00241, t_B=0.0024, t_C=0.0028, t_2=0.0004,
+            t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
+            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device="cpu",
+        )
+        jax.block_until_ready(m133.a)
+        extras["m133_build_s_cached"] = round(time.time() - t0, 2)
+        a3 = jax.device_put(jnp.asarray(m133.a, cast), dev)
+        pi3 = jax.device_put(jnp.asarray(m133.pi, cast), dev)
+        bfull3 = jax.device_put(
+            decoders.emission_table(
+                jnp.asarray(m133.b, cast),
+                jnp.asarray(aggregation_matrix(), cast),
+            ),
+            dev,
+        )
+        w3, t3 = (512, 4096) if platform != "cpu" else (8, 512)
+        bufs3 = [
+            jax.device_put(
+                jnp.asarray(rng.integers(0, 625, size=(w3, t3)), jnp.int32),
+                dev,
+            )
+            for _ in range(3)
+        ]
+        for name, fn in (
+            ("m133_fwd", lambda a_, b_, p_, t_: decoders.forward_loglik_fast(
+                a_, b_, p_, t_)),
+            ("m133_viterbi", lambda a_, b_, p_, t_: decoders.viterbi_fast(
+                a_, b_, p_, t_)[:, -1].sum()),
+            ("m133_posterior", lambda a_, b_, p_, t_: decoders.posterior_fast(
+                a_, b_, p_, t_)[-1].sum()),
+        ):
+            g = jax.jit(fn)
+            float(g(a3, bfull3, pi3, bufs3[0]))
+            ts = []
+            for tkn in bufs3[1:]:
+                t0 = time.time()
+                float(g(a3, bfull3, pi3, tkn))
+                ts.append(time.time() - t0)
+            extras[f"{name}_mcols_per_s"] = round(
+                w3 * t3 / float(np.median(ts)) / 1e6, 1
+            )
+    except Exception as e:  # flagship metrics must not kill the bench line
+        extras["m133_error"] = f"{type(e).__name__}: {e}"[:200]
+
     base_rate, base_info = measured_baseline()
     extras.update(base_info)
     print(json.dumps({

@@ -131,13 +131,19 @@ def run_viterbi(a, bfull, pi, v_lst):
         for (i, _), row in zip(short, rows):
             out[i] = row
     if long:
-        from itrails_tpu.hmm.longseq_sharded import sharded_viterbi_long
+        from itrails_tpu.hmm.longseq_sharded import (
+            sharded_viterbi_long,
+            sharded_viterbi_segmented,
+        )
 
         mesh = sharding.data_mesh()
         for i, v in long:
             v = jnp.asarray(v, jnp.int32)
             if len(v) > SEGMENTED_VITERBI_THRESHOLD:
-                out[i] = viterbi_segmented(a, bfull, pi, v)
+                if mesh.devices.size > 1:
+                    out[i] = sharded_viterbi_segmented(a, bfull, pi, v, mesh)
+                else:
+                    out[i] = viterbi_segmented(a, bfull, pi, v)
             elif mesh.devices.size > 1:
                 out[i] = sharded_viterbi_long(a, bfull, pi, v, mesh)
             else:

@@ -127,10 +127,10 @@ def _bwd_kernel(ptr_ref, st0_ref, path_ref, st_s, *, mp: int, chunk_t: int):
     def step(k, st):
         t = chunk_t - 1 - k
         ohj = (st == sub_ids).astype(jnp.int32)  # (Mp, BW)
-        # explicit i32 result: under jax_enable_x64 the sum would widen to
-        # i64, breaking the carry type (and Mosaic legalization)
+        # explicit i32 accumulation: under jax_enable_x64 the sum would
+        # otherwise widen to i64, which Mosaic cannot legalize
         prev = jnp.sum(ohj * ptr_ref[t].astype(jnp.int32), axis=0,
-                       keepdims=True).astype(jnp.int32)
+                       keepdims=True, dtype=jnp.int32)
         path_ref[pl.ds(t, 1), :] = prev
         return prev
 

@@ -88,3 +88,24 @@ def test_sharded_viterbi_long_matches_sequential():
         path_ref = np.asarray(decoders.viterbi(a, bfull, pi, tokens[None]))[0]
         np.testing.assert_array_equal(path_sh, path_ref,
                                       err_msg=f"T={t_len} chunk={chunk}")
+
+
+def test_sharded_viterbi_segmented_matches_sequential():
+    from itrails_tpu.hmm.longseq import viterbi_segmented
+    from itrails_tpu.hmm.longseq_sharded import sharded_viterbi_segmented
+
+    a, bfull, pi = _model()
+    mesh = data_mesh()
+    rng = np.random.default_rng(26)
+    for t_len, chunk, seg_chunks in ((3000, 16, 8), (513, 8, 8), (1, 8, 8)):
+        tokens = jnp.asarray(rng.integers(0, 625, size=t_len), jnp.int32)
+        path_sh = sharded_viterbi_segmented(
+            a, bfull, pi, tokens, mesh, chunk=chunk, seg_chunks=seg_chunks
+        )
+        path_seg = viterbi_segmented(a, bfull, pi, tokens, chunk=chunk,
+                                     seg_chunks=seg_chunks)
+        path_ref = np.asarray(decoders.viterbi(a, bfull, pi, tokens[None]))[0]
+        np.testing.assert_array_equal(path_sh, path_ref,
+                                      err_msg=f"T={t_len}")
+        np.testing.assert_array_equal(path_seg, path_ref,
+                                      err_msg=f"T={t_len} (single-dev)")
