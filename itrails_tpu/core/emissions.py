@@ -35,6 +35,42 @@ __all__ = [
 # EQ[i, j] = 3/4 if i == j else -1/4  (the alpha/beta/... coefficients)
 _EQ = np.full((4, 4), -0.25) + np.eye(4)
 
+# Every alpha/beta/... coefficient is BINARY (-1/4 or 3/4), so the closed-
+# form integrands take only 2^3 (single) / 2^5 (double) distinct values on
+# their nucleotide grids.  The static count matrices below map the tiny
+# distinct-value tables back onto the (4, 4, 4[, 4]) output (summing the
+# internal nucleotides), replacing 256 / 4096 broadcast evaluations of a
+# ~100/300-op transcendental formula with 8 / 32 — the Bell-class symmetry
+# reduction of SURVEY.md section 7 item (d).
+_TWO = np.array([-0.25, 0.75])
+
+
+def _counts_single():
+    eqi = np.eye(4, dtype=np.int64)  # 1 where nucleotides match
+    a, b, c, d = np.ogrid[:4, :4, :4, :4]
+    idx = eqi[a, d] * 4 + eqi[d, b] * 2 + eqi[d, c]  # (4,4,4,4)
+    counts = np.zeros((64, 8), np.int64)
+    flat = idx.reshape(64, 4)  # (abc, d)
+    for k in range(4):
+        np.add.at(counts, (np.arange(64), flat[:, k]), 1)
+    return counts
+
+
+def _counts_double():
+    eqi = np.eye(4, dtype=np.int64)
+    a, b, c, d, e, f = np.ogrid[:4, :4, :4, :4, :4, :4]
+    idx = (eqi[a, e] * 16 + eqi[e, b] * 8 + eqi[e, f] * 4
+           + eqi[f, c] * 2 + eqi[f, d])  # (4,4,4,4,4,4)
+    counts = np.zeros((256, 32), np.int64)
+    flat = idx.reshape(256, 16)  # (abcd, ef)
+    for k in range(16):
+        np.add.at(counts, (np.arange(256), flat[:, k]), 1)
+    return counts
+
+
+_COUNTS_SINGLE = _counts_single()  # (64, 8)
+_COUNTS_DOUBLE = _counts_double()  # (256, 32)
+
 
 def jc69_propagator(theta):
     """JC69 transition matrix after total scaled branch length ``theta``
@@ -77,12 +113,13 @@ def coal_tensor_single(t, mu, k, dtype=jnp.float64):
     """F[a, b, c] = P(b, c | a) for one coalescence within time ``t`` at
     coalescent rate ``k`` (truncated-exponential), summed over the internal
     nucleotide (reference p_b_c_given_a_JC69_analytical, :95-117)."""
-    eq = jnp.asarray(_EQ, dtype)
-    alpha = eq[:, None, None, :]  # (a, 1, 1, d)
-    beta = eq.T[None, :, None, :]  # beta(d,b) -> (1, b, 1, d)
-    gamma = eq.T[None, None, :, :]  # gamma(d,c) -> (1, 1, c, d)
-    vals = _single_integrand(alpha, beta, gamma, t, mu, k)
-    return jnp.sum(vals, axis=-1)
+    two = jnp.asarray(_TWO, dtype)
+    alpha = two[:, None, None]
+    beta = two[None, :, None]
+    gamma = two[None, None, :]
+    table = _single_integrand(alpha, beta, gamma, t, mu, k).reshape(8)
+    counts = jnp.asarray(_COUNTS_SINGLE, dtype)
+    return (counts @ table).reshape(4, 4, 4)
 
 
 def _double_integrand(alpha, beta, gamma, delta, epsilon, t, mu):
@@ -198,15 +235,16 @@ def coal_tensor_double(t, mu, dtype=jnp.float64):
     """D[a, b, c, d] = P(b, c, d | a) for two coalescences of lineages
     (a,b,c) within ``t``, summed over both internal nucleotides (reference
     p_b_c_d_given_a_JC69_analytical, :400-424)."""
-    eq = jnp.asarray(_EQ, dtype)
-    # axes: (a, b, c, d, e, f)
-    alpha = eq[:, None, None, None, :, None]  # alpha(a, e)
-    beta = eq.T[None, :, None, None, :, None]  # beta(e, b)
-    gamma = eq[None, None, None, None, :, :]  # gamma(e, f)
-    delta = eq.T[None, None, :, None, None, :]  # delta(f, c)
-    epsilon = eq.T[None, None, None, :, None, :]  # epsilon(f, d)
-    vals = _double_integrand(alpha, beta, gamma, delta, epsilon, t, mu)
-    return jnp.sum(vals, axis=(-2, -1))
+    two = jnp.asarray(_TWO, dtype)
+    alpha = two[:, None, None, None, None]
+    beta = two[None, :, None, None, None]
+    gamma = two[None, None, :, None, None]
+    delta = two[None, None, None, :, None]
+    epsilon = two[None, None, None, None, :]
+    table = _double_integrand(alpha, beta, gamma, delta, epsilon, t,
+                              mu).reshape(32)
+    counts = jnp.asarray(_COUNTS_DOUBLE, dtype)
+    return (counts @ table).reshape(4, 4, 4, 4)
 
 
 def _emission_single(theta_a, theta_b, theta_c, theta_ab, theta_d,

@@ -19,7 +19,8 @@ import numpy as np
 
 from itrails_tpu.data.tokens import token_index
 
-__all__ = ["read_maf", "maf_tokens", "maf_reference_coordinates", "MafBlock"]
+__all__ = ["read_maf", "maf_tokens", "maf_tokens_new_method",
+           "maf_reference_coordinates", "MafBlock"]
 
 _BASE_CODE = np.full(256, 4, dtype=np.int8)  # default: N
 for i, ch in enumerate("ACTG"):
@@ -113,6 +114,40 @@ def _maf_tokens_py(path, species):
             for sp in species
         ]
         out.append(_TOKEN_LUT[cols[0], cols[1], cols[2], cols[3]].astype(np.int32))
+    return out
+
+
+_TOKEN_LUT_3 = None
+
+
+def maf_tokens_new_method(path, species):
+    """Token arrays over the 3-species 125-token alphabet (reference
+    maf_parser_new_method, read_data.py:120-143: blocks missing any of the
+    three species are skipped; gaps count as N).  ``species`` must name
+    exactly three species."""
+    if len(species) != 3:
+        raise ValueError("new-method tokenization takes exactly 3 species")
+    global _TOKEN_LUT_3
+    if _TOKEN_LUT_3 is None:
+        from itrails_tpu.data.tokens import token_index_3
+
+        idx = token_index_3()
+        sym = "ACTGN"
+        lut = np.zeros((5, 5, 5), dtype=np.int32)
+        for a in range(5):
+            for b in range(5):
+                for d in range(5):
+                    lut[a, b, d] = idx[sym[a] + sym[b] + sym[d]]
+        _TOKEN_LUT_3 = lut
+    out = []
+    for block in read_maf(path, species):
+        if len(block.seqs) != 3:
+            continue
+        cols = [
+            _BASE_CODE[np.frombuffer(block.seqs[sp].encode(), dtype=np.uint8)]
+            for sp in species
+        ]
+        out.append(_TOKEN_LUT_3[cols[0], cols[1], cols[2]].astype(np.int32))
     return out
 
 

@@ -91,6 +91,11 @@ def token_strings_3() -> list:
 
 
 @functools.lru_cache(maxsize=1)
+def token_index_3() -> dict:
+    return {s: i for i, s in enumerate(token_strings_3())}
+
+
+@functools.lru_cache(maxsize=1)
 def aggregation_matrix_3() -> np.ndarray:
     """(125, 64) ambiguity-resolution matrix for the 3-species alphabet."""
     strings = token_strings_3()

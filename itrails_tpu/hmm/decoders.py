@@ -26,6 +26,7 @@ from itrails_tpu.data.tokens import PAD_TOKEN
 
 __all__ = [
     "emission_table",
+    "emission_table_new_method",
     "forward",
     "forward_loglik",
     "forward_loglik_fast",
@@ -41,6 +42,22 @@ def emission_table(b, agg):
     """(M, 625) emission table over the full (ambiguity-resolved) alphabet:
     ``b @ agg.T`` where agg is data.tokens.aggregation_matrix()."""
     return b @ jnp.asarray(agg, b.dtype).T
+
+
+def emission_table_new_method(b):
+    """(M, 125) emission table over the 3-species ("new method") alphabet:
+    the (M, 256) four-species emission matrix marginalized over the
+    outgroup nucleotide, then ambiguity-resolved (reference
+    read_data.py:27-43 + optimizer.py:68-91 — present but not reachable
+    from any reference CLI; exposed at library level here likewise).
+    Every decoder in this module accepts it directly with
+    maf.maf_tokens_new_method tokens; for the fused TPU kernels zero-pad
+    the columns to 625."""
+    from itrails_tpu.data.tokens import aggregation_matrix_3
+
+    m = b.shape[0]
+    b3 = b.reshape(m, 64, 4).sum(-1)
+    return b3 @ jnp.asarray(aggregation_matrix_3(), b.dtype).T
 
 
 def _gather_emis(bfull, tokens):

@@ -78,11 +78,21 @@ def forward_loglik_remat(a, bfull, pi, tokens, chunk: int = 1024):
 
 def decode_value_and_grad_fn(mesh=None, chunk: int = 1024):
     """Jitted ``(a, bfull, pi, tokens) -> (ll, (da, dbfull, dpi))`` with the
-    window axis sharded over ``mesh`` (cotangents psum over devices)."""
-    vg = jax.value_and_grad(
+    window axis sharded over ``mesh`` (cotangents psum over devices).
+    On TPU the fused Baum-Welch gradient kernels (hmm.pallas_grad) replace
+    reverse-mode autodiff of the scan — same contract, kernel speed."""
+    vg_ad = jax.value_and_grad(
         functools.partial(forward_loglik_remat, chunk=chunk),
         argnums=(0, 1, 2),
     )
+
+    def vg(a, bfull, pi, tokens):
+        from itrails_tpu.hmm import pallas_grad
+
+        if pallas_grad.supported():
+            return pallas_grad.loglik_and_grads_fused(a, bfull, pi, tokens)
+        return vg_ad(a, bfull, pi, tokens)
+
     if mesh is None:
         return jax.jit(vg)
 

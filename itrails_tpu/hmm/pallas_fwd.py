@@ -105,7 +105,8 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         oh = (tok == kio).astype(jnp.bfloat16)  # (KP, BW)
         e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
         e = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact rows
-        nx = jnp.dot(at, al, preferred_element_type=jnp.float32) * e
+        nx = jnp.dot(at, al, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) * e
         s = jnp.sum(nx, axis=0, keepdims=True)  # (1, BW)
         pad = tok == PAD_TOKEN
         snz = jnp.where(pad, 1.0, s)
@@ -254,7 +255,8 @@ def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
         oh = (tok == kio).astype(jnp.bfloat16)
         e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
         e = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
-        nx = jnp.dot(at, be * e, preferred_element_type=jnp.float32)
+        nx = jnp.dot(at, be * e, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         sn = jnp.sum(nx, axis=0, keepdims=True)
         nx = nx / jnp.where(sn > 0, sn, 1.0)
         pad = tok == PAD_TOKEN

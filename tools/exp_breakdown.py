@@ -36,6 +36,9 @@ def make_kernel(variant, nparts):
         at = at_ref[:]
         bw = tok_ref.shape[1]
         if variant == "i16oh":
+            # TIMING PROBE ONLY — numerically invalid: bf16 cannot
+            # represent all integers up to 624, so token ids >= 257 can
+            # collide after rounding and the one-hot may mis-match.
             kio = jax.lax.broadcasted_iota(
                 jnp.int32, (_KP, bw), 0).astype(jnp.bfloat16)
         else:
@@ -140,8 +143,7 @@ def main():
     ]
     for variant, nparts, bw, tc in cases:
         try:
-            v = variant if variant in ("noemis", "emisonly", "i16oh") else variant
-            fn = lambda tok: float(run(a, bfull, pi, tok, variant=v,
+            fn = lambda tok: float(run(a, bfull, pi, tok, variant=variant,
                                        nparts=nparts, bw=bw, tc=tc))
             fn(bufs[0])
             ts = []

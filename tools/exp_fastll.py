@@ -1,4 +1,10 @@
-"""Experiment: fast loglik kernel — pad-free (pad emits 1 via table),
+"""
+NOTE: the emit-1 PAD trick used here (PAD maps to a column of ones and
+the recursion renormalizes unconditionally) advances alpha through the
+transition matrix during pad steps, so it is equivalent to the production
+kernel ONLY for trailing pads; inputs with mid-sequence PAD_TOKEN columns
+are NOT supported by this experimental variant.
+Experiment: fast loglik kernel — pad-free (pad emits 1 via table),
 renormalize every RN steps, optional multi-step batched one-hot matmul.
 Checks numerics vs the current fused kernel, then times variants.
 """
@@ -29,8 +35,9 @@ def make_kernel(nparts, rn, kb):
         btcat = btcat_ref[:]
         at = at_ref[:]
         bw = tok_ref.shape[1]
-        kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, kb * bw), 0) % _KP \
-            if kb > 1 else jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+        # dim-0 iota values are already < _KP; no modulo needed
+        kio = jax.lax.broadcasted_iota(
+            jnp.int32, (_KP, kb * bw if kb > 1 else bw), 0)
 
         def substep(al, e):
             return jnp.dot(at, al, preferred_element_type=jnp.float32) * e

@@ -15,7 +15,7 @@ W, T = 4096, 8192
 rng = np.random.default_rng(0)
 
 
-def make_kernel(nparts, U, fuse_oh):
+def make_kernel(nparts, U):
     def kern(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref, ll_ref,
              al_s, acc_s, *, mp, chunk_t):
         j = pl.program_id(1)
@@ -42,10 +42,6 @@ def make_kernel(nparts, U, fuse_oh):
             al, acc = carry
             base = t * U
             toks = tok_ref[pl.ds(base, U), :]  # one (U, BW) read
-            if fuse_oh:
-                # one big one-hot + matmul for U steps: oh (KP, U, BW)?
-                # not legal; skip
-                pass
             for q in range(U):
                 e = emis(toks[q:q + 1])
                 al = jnp.dot(at, al, preferred_element_type=jnp.float32) * e
@@ -93,7 +89,7 @@ def fastll(a, bfull, pi, tokens, nparts=3, U=4, bw=4096, tc=128):
     zi = lambda i, j: (i * 0, i)
     zz = lambda i, j: (i * 0, i * 0)
     ll = pl.pallas_call(
-        functools.partial(make_kernel(nparts, U, False), mp=MP, chunk_t=tc),
+        functools.partial(make_kernel(nparts, U), mp=MP, chunk_t=tc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i), memory_space=pltpu.VMEM),

@@ -356,6 +356,43 @@ def golden_maf():
     print(f"maf.npz written ({len(blocks)} token blocks, {len(coords)} coord blocks)")
 
 
+def golden_maf3():
+    """3-species 'new method' tokenization + ambiguity-order fixtures
+    (reference read_data.py:120-143, 70-91)."""
+    maf_path = os.path.join(GOLDENS, "synthetic.maf")
+    if not os.path.exists(maf_path):
+        _write_synthetic_maf(maf_path)
+    from itrails.read_data import (  # noqa: E402
+        get_idx_state_new_method,
+        maf_parser_new_method,
+    )
+
+    # NOTE: the reference's new-method pipeline is non-functional end to
+    # end: maf_parser_new_method demands len(dct) == 4 while parsing 3
+    # species (read_data.py:137) so it always returns [], and
+    # get_idx_state_new_method recurses into the 4-SPECIES resolver for
+    # tokens with >=2 Ns (read_data.py:86-90), yielding out-of-range
+    # column indices.  Only the single-N resolutions are golden-able; the
+    # rebuild implements the corrected semantics
+    # (data.tokens.aggregation_matrix_3, data.maf.maf_tokens_new_method).
+    blocks = maf_parser_new_method(maf_path, MAF_SPECIES[:3])
+    out = {"n_blocks": np.array(len(blocks))}  # == 0: reference bug above
+    for i, b in enumerate(blocks):
+        out[f"tokens_{i}"] = b
+    orders = np.zeros((125, 64), np.int64)
+    for t in range(125):
+        try:
+            cols = get_idx_state_new_method(t)
+        except Exception:
+            continue
+        if np.all(cols < 64):
+            for c in cols:
+                orders[t, c] = 1
+    out["order_onehot_partial"] = orders
+    np.savez(os.path.join(GOLDENS, "maf3.npz"), **out)
+    print(f"maf3.npz written ({len(blocks)} token blocks)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small fixtures only")
@@ -368,6 +405,8 @@ def main():
 
     if want("maf"):
         golden_maf()
+    if want("maf3"):
+        golden_maf3()
     if want("integrands"):
         golden_integrands()
     if want("int"):
