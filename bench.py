@@ -47,11 +47,16 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)  # f64 model build on host
+    from itrails_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()  # persist TPU/CPU compiles across runs
     import jax.numpy as jnp
     import numpy as np
 
     platform = jax.default_backend()
     dev = jax.devices()[0]
+    # model builds run on the accelerator when present (see utils.cache)
+    bdev = None if platform == "tpu" else "cpu"
 
     from itrails_tpu.core.model import build_model
     from itrails_tpu.data.tokens import aggregation_matrix
@@ -62,17 +67,18 @@ def main():
     model = build_model(
         t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
         t_out=0.009312, N_AB=0.0005, N_ABC=0.0005, r=1.0,
-        n_int_AB=3, n_int_ABC=3, dtype="float64", device="cpu",
+        n_int_AB=3, n_int_ABC=3, dtype="float64", device=bdev,
     )
+    np.asarray(model.a)
     build_first_s = time.time() - t0
     # second build: the jit-cached per-optimizer-eval cost
     t0 = time.time()
     model = build_model(
         t_A=0.00241, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
         t_out=0.009312, N_AB=0.0005, N_ABC=0.00051, r=1.0,
-        n_int_AB=3, n_int_ABC=3, dtype="float64", device="cpu",
+        n_int_AB=3, n_int_ABC=3, dtype="float64", device=bdev,
     )
-    jax.block_until_ready(model.a)
+    np.asarray(model.a)  # materialize: block_until_ready lies on axon
     build_eval_s = time.time() - t0
 
     cast = jnp.float32
@@ -112,26 +118,37 @@ def main():
     dt = float(np.median(times))
     cols_per_sec = n_cols / dt
 
-    # full optimizer-evaluation wall clock: model rebuild + likelihood.
-    # Reuses the already-compiled batch shape (33.5M columns >> the 1 Mb of
-    # BASELINE config 2, so this upper-bounds that config's per-eval cost).
-    mb_tokens = bufs[0]
-    t0 = time.time()
-    model2 = build_model(
-        t_A=0.002411, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
-        t_out=0.009312, N_AB=0.000501, N_ABC=0.0005, r=1.0,
-        n_int_AB=3, n_int_ABC=3, dtype="float64", device="cpu",
+    # full optimizer-evaluation wall clock: model rebuild + likelihood on an
+    # actual 1 Mb batch (BASELINE config 2 shape: 256 x 4096 = 1.05M cols)
+    mb_tokens = jax.device_put(
+        jnp.asarray(rng.integers(0, 625, size=(256, 4096)), jnp.int32), dev
     )
-    a2 = jax.device_put(jnp.asarray(model2.a, cast), dev)
-    pi2 = jax.device_put(jnp.asarray(model2.pi, cast), dev)
-    bfull2 = jax.device_put(
-        decoders.emission_table(
-            jnp.asarray(model2.b, cast), jnp.asarray(aggregation_matrix(), cast)
-        ),
-        dev,
-    )
-    ll2 = float(fwd(a2, bfull2, pi2, mb_tokens))
-    optimizer_eval_s = time.time() - t0
+    float(fwd(a, bfull, pi, mb_tokens))  # compile the 1 Mb shape
+
+    def one_eval(da):
+        model2 = build_model(
+            t_A=0.0024 + da, t_B=0.0024, t_C=0.0028, t_2=0.0004,
+            t_upper=0.00745069, t_out=0.009312, N_AB=0.000501, N_ABC=0.0005,
+            r=1.0, n_int_AB=3, n_int_ABC=3, dtype="float64", device=bdev,
+        )
+        a2 = jax.device_put(jnp.asarray(model2.a, cast), dev)
+        pi2 = jax.device_put(jnp.asarray(model2.pi, cast), dev)
+        bfull2 = jax.device_put(
+            decoders.emission_table(
+                jnp.asarray(model2.b, cast),
+                jnp.asarray(aggregation_matrix(), cast),
+            ),
+            dev,
+        )
+        return float(fwd(a2, bfull2, pi2, mb_tokens))
+
+    one_eval(1.3e-5)  # warm
+    evs = []
+    for k in range(3):
+        t0 = time.time()
+        one_eval(1e-6 * (k + 1))
+        evs.append(time.time() - t0)
+    optimizer_eval_s = float(np.median(evs))
 
     # secondary decoders on a (1024, win_len) slice (posterior stores
     # (T, M, W) alphas+gammas on-device — keep the batch inside HBM)
@@ -160,16 +177,16 @@ def main():
         m133 = build_model(
             t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004,
             t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
-            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device="cpu",
+            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev,
         )
         extras["m133_build_s_first"] = round(time.time() - t0, 2)
         t0 = time.time()
         m133 = build_model(
             t_A=0.00241, t_B=0.0024, t_C=0.0028, t_2=0.0004,
             t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
-            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device="cpu",
+            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev,
         )
-        jax.block_until_ready(m133.a)
+        np.asarray(m133.a)
         extras["m133_build_s_cached"] = round(time.time() - t0, 2)
         a3 = jax.device_put(jnp.asarray(m133.a, cast), dev)
         pi3 = jax.device_put(jnp.asarray(m133.pi, cast), dev)

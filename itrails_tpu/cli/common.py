@@ -26,24 +26,9 @@ __all__ = [
 TIME_PARAMS = ("t_1", "t_A", "t_B", "t_C")
 
 
-def enable_compilation_cache():
-    """Persist XLA compilations across runs (first TPU compile of the
-    decode kernels / model build is tens of seconds; subsequent CLI
-    invocations then start hot).  Opt out with ITRAILS_NO_CACHE=1."""
-    if os.environ.get("ITRAILS_NO_CACHE"):
-        return
-    import jax
-
-    cache_dir = os.environ.get(
-        "ITRAILS_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "itrails_tpu", "xla"),
-    )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # cache is an optimization, never a hard failure
-        pass
+from itrails_tpu.utils.cache import enable_compilation_cache  # noqa: F401
+# (moved to utils.cache so the optimizer engine can enable it without
+# importing the CLI layer; re-exported here for compatibility)
 
 
 def standard_parser(description, usage=None):

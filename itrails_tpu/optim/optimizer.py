@@ -89,14 +89,24 @@ class LoglikEngine:
         self.n_int_ABC = n_int_ABC
         self.dtype = dtype
         self.introgression = introgression
+        # per-eval model build: on the accelerator when one is present
+        # (55 ms vs ~160 ms on the host CPU at 3x3, parity <= 7e-9; the
+        # persistent cache amortizes the one-time TPU compile)
+        from itrails_tpu.utils.cache import build_device, enable_compilation_cache
+
+        enable_compilation_cache()
+        bdev = build_device()
         if introgression:
             from itrails_tpu.introgression.builder import (
                 build_model_introgression_fn,
             )
 
-            self._builder = build_model_introgression_fn(n_int_AB, n_int_ABC, dtype)
+            self._builder = build_model_introgression_fn(
+                n_int_AB, n_int_ABC, dtype, device=bdev
+            )
         else:
-            self._builder = build_model_fn(n_int_AB, n_int_ABC, dtype)
+            self._builder = build_model_fn(n_int_AB, n_int_ABC, dtype,
+                                           device=bdev)
         self._agg = jnp.asarray(aggregation_matrix())
         self._loglik = sharding.sharded_loglik_fn(self.mesh)
         self._chunk = chunk
