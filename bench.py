@@ -55,8 +55,12 @@ def main():
 
     platform = jax.default_backend()
     dev = jax.devices()[0]
-    # model builds run on the accelerator when present (see utils.cache)
-    bdev = None if platform == "tpu" else "cpu"
+    # model builds: accelerator for the small topology, host for 7x7
+    # (see utils.cache.build_device)
+    from itrails_tpu.utils.cache import build_device
+
+    bdev = build_device(3, 3)
+    bdev133 = build_device(7, 7)
 
     from itrails_tpu.core.model import build_model
     from itrails_tpu.data.tokens import aggregation_matrix
@@ -177,14 +181,14 @@ def main():
         m133 = build_model(
             t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004,
             t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
-            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev,
+            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev133,
         )
         extras["m133_build_s_first"] = round(time.time() - t0, 2)
         t0 = time.time()
         m133 = build_model(
             t_A=0.00241, t_B=0.0024, t_C=0.0028, t_2=0.0004,
             t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
-            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev,
+            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev133,
         )
         np.asarray(m133.a)
         extras["m133_build_s_cached"] = round(time.time() - t0, 2)
@@ -213,16 +217,21 @@ def main():
             ("m133_posterior", lambda a_, b_, p_, t_: decoders.posterior_fast(
                 a_, b_, p_, t_)[-1].sum()),
         ):
-            g = jax.jit(fn)
-            float(g(a3, bfull3, pi3, bufs3[0]))
-            ts = []
-            for tkn in bufs3[1:]:
-                t0 = time.time()
-                float(g(a3, bfull3, pi3, tkn))
-                ts.append(time.time() - t0)
-            extras[f"{name}_mcols_per_s"] = round(
-                w3 * t3 / float(np.median(ts)) / 1e6, 1
-            )
+            try:
+                g = jax.jit(fn)
+                float(g(a3, bfull3, pi3, bufs3[0]))
+                ts = []
+                for tkn in bufs3[1:]:
+                    t0 = time.time()
+                    float(g(a3, bfull3, pi3, tkn))
+                    ts.append(time.time() - t0)
+                extras[f"{name}_mcols_per_s"] = round(
+                    w3 * t3 / float(np.median(ts)) / 1e6, 1
+                )
+            except Exception as e:
+                extras[f"{name}_mcols_per_s"] = (
+                    f"error: {type(e).__name__}: {e}"[:160]
+                )
     except Exception as e:  # flagship metrics must not kill the bench line
         extras["m133_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -58,23 +58,38 @@ def main(argv=None):
         update_n_cpu(settings["n_cpu"])
 
     best_model_yaml = os.path.join(output_dir, f"{output_prefix}.best_model.yaml")
-    resume = args.resume and os.path.exists(best_model_yaml)
+    state_yaml = os.path.join(output_dir,
+                              f"{output_prefix}.optimizer_state.yaml")
+    resume = args.resume and (os.path.exists(best_model_yaml)
+                              or os.path.exists(state_yaml))
     if resume:
-        # The best-model YAML is the checkpoint (reference README.md:36-40);
-        # restart the search from its parameters, keep history appending.
         import yaml as _yaml
 
-        prev = _yaml.safe_load(open(best_model_yaml))
-        mu = setup["mu"]
-        prev_opt = prev.get("optimized_parameters") or {}
-        for i, name in enumerate(setup["optim_variables"]):
-            if name in prev_opt:
-                v = float(prev_opt[name])
-                setup["optim_list"][i] = (
-                    v / mu if name == "r" else v if name == "m" else v * mu
-                )
-        print(f"Resuming from {best_model_yaml} "
-              f"(loglik {prev['results']['log_likelihood']}).")
+        # Prefer the mid-run search-state checkpoint (the optimizer's last
+        # iterate, written atomically every scipy iteration) over the
+        # best-model YAML (reference README.md:36-40), which only records
+        # the best-so-far point.
+        if os.path.exists(state_yaml):
+            st = _yaml.safe_load(open(state_yaml))
+            for i, name in enumerate(setup["optim_variables"]):
+                if name in st.get("variables", []):
+                    setup["optim_list"][i] = float(
+                        st["x_internal"][st["variables"].index(name)]
+                    )
+            print(f"Resuming from {state_yaml} "
+                  f"(iterate after {st.get('n_eval', '?')} evaluations).")
+        else:
+            prev = _yaml.safe_load(open(best_model_yaml))
+            mu = setup["mu"]
+            prev_opt = prev.get("optimized_parameters") or {}
+            for i, name in enumerate(setup["optim_variables"]):
+                if name in prev_opt:
+                    v = float(prev_opt[name])
+                    setup["optim_list"][i] = (
+                        v / mu if name == "r" else v if name == "m" else v * mu
+                    )
+            print(f"Resuming from {best_model_yaml} "
+                  f"(loglik {prev['results']['log_likelihood']}).")
     else:
         write_starting_params(
             os.path.join(output_dir, f"{output_prefix}.starting_params.yaml"),

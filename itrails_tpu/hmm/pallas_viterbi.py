@@ -157,7 +157,12 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     logbt = jnp.full((mp, _KP), f32(_NEG)).at[:m, :_K].set(log_clip(bfull))
     logbt_cat = split_bf16(logbt)
 
-    bw = min(block_w, _round_up(w, 128))
+    # Mosaic keeps ~mp live (mp, bw) slabs across the unrolled max-plus
+    # chain (poor buffer reuse on long unrolled chains), so the window
+    # block must satisfy mp^2 * bw * 4 <~ 12 MB of scoped VMEM or the TPU
+    # compile aborts (observed at Mp=136: bw=128 compiles, bw=256 does not)
+    bw_cap = max(128, (12 * 2**20 // (4 * mp * mp)) // 128 * 128)
+    bw = min(block_w, bw_cap, _round_up(w, 128))
     wp = _round_up(w, bw)
     pdt = _ptr_dtype(m)
     pbytes = jnp.dtype(pdt).itemsize

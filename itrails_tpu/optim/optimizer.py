@@ -95,7 +95,7 @@ class LoglikEngine:
         from itrails_tpu.utils.cache import build_device, enable_compilation_cache
 
         enable_compilation_cache()
-        bdev = build_device()
+        bdev = build_device(n_int_AB, n_int_ABC)
         if introgression:
             from itrails_tpu.introgression.builder import (
                 build_model_introgression_fn,
@@ -293,6 +293,28 @@ def optimizer(
     info = {"n_eval": 0, "t0": time.time()}
     resolver = resolve_times_introgression if introgression else resolve_times
 
+    # Mid-run search-state checkpoint (SURVEY.md section 5 ask): the scipy
+    # iteration callback atomically records the CURRENT iterate (internal
+    # mu-scaled coordinates), so --resume can restart the trajectory from
+    # where it stopped rather than only from the best-so-far YAML.
+    import yaml as _yaml
+
+    state_yaml = os.path.join(
+        output_dir, f"{output_prefix}{sep}optimizer_state.yaml"
+    )
+
+    def _checkpoint(xk):
+        tmp = state_yaml + ".tmp"
+        with open(tmp, "w") as f:
+            _yaml.safe_dump({
+                "n_eval": info["n_eval"],
+                "variables": list(optim_variables),
+                "x_internal": [float(v) for v in np.asarray(xk)],
+                "note": "internal (mu-scaled) coordinates; consumed by "
+                        "--resume",
+            }, f)
+        os.replace(tmp, state_yaml)
+
     def _record(arg_lst, ll):
         write_list(
             [info["n_eval"]] + [float(v) for v in arg_lst]
@@ -328,6 +350,7 @@ def optimizer(
             method=method,
             jac=True,
             bounds=bounds,
+            callback=_checkpoint,
             options={"maxiter": maxiter, "disp": True},
         )
 
@@ -345,5 +368,6 @@ def optimizer(
         x0=np.asarray(optim_list, dtype=np.float64),
         method=method,
         bounds=bounds,
+        callback=_checkpoint,
         options={"maxiter": maxiter, "disp": True},
     )

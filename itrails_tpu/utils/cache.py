@@ -26,6 +26,12 @@ def enable_compilation_cache():
         return
     import jax
 
+    if jax.default_backend() != "tpu":
+        # XLA:CPU AOT cache entries warn about machine-feature mismatches
+        # on reload (potential SIGILL); only the minutes-long TPU tunnel
+        # compiles are worth persisting
+        return
+
     cache_dir = os.environ.get(
         "ITRAILS_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "itrails_tpu", "xla"),
@@ -39,10 +45,13 @@ def enable_compilation_cache():
         pass
 
 
-def build_device() -> str | None:
-    """Device for the per-eval model build: the accelerator when one is
-    present (None = JAX default device), else the host CPU.  Override with
-    ITRAILS_BUILD_DEVICE=cpu|tpu."""
+def build_device(n_int_AB: int = 3, n_int_ABC: int = 3) -> str | None:
+    """Device for the per-eval model build: the accelerator for small
+    topologies (None = JAX default device; 55 ms vs ~160 ms CPU at 3x3),
+    the host CPU otherwise — at 7x7 the f64-emulated TPU build measured
+    ~100x slower than CPU (the deep Van Loan chains blow up under
+    emulation), so large interval counts stay on the host (2.7 s at 7x7).
+    Override with ITRAILS_BUILD_DEVICE=cpu|tpu."""
     import jax
 
     forced = os.environ.get("ITRAILS_BUILD_DEVICE", "").lower()
@@ -50,4 +59,6 @@ def build_device() -> str | None:
         return "cpu"
     if forced in ("tpu", "default"):
         return None
-    return None if jax.default_backend() == "tpu" else "cpu"
+    if jax.default_backend() != "tpu":
+        return "cpu"
+    return None if n_int_AB * n_int_ABC <= 12 else "cpu"
