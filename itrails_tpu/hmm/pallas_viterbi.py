@@ -65,8 +65,9 @@ def _ptr_dtype(m: int):
     return jnp.int8 if m <= 127 else jnp.int16
 
 
-def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref,
-                om_s, *, mp: int, chunk_t: int):
+def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, latt_ref, ptr_ref,
+                omf_ref, om_s, omtmp_s, *, mp: int, chunk_t: int,
+                grouped: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -75,18 +76,19 @@ def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref,
 
     logbt = logbt_ref[:]  # (3Mp, KP) bf16 hi/mid/lo log-emission
     lat = lat_ref[:]  # (Mp, Mp) f32: lat[j_state, i_state] = log a[i, j]
+    # latt_ref: lat.T (source states on sublanes), read in dynamic slices
+    # by the grouped path
     bw = tok_ref.shape[1]
     kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, bw), 0)
+    gsz = 8  # source-state group size of the large-M path
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (gsz, mp, bw), 0)
 
-    def step(t, om):
-        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
-        oh = (tok == kio).astype(jnp.bfloat16)
-        e2 = jnp.dot(logbt, oh, preferred_element_type=jnp.float32)
-        loge = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact
-
-        # running (max, argmax) over source states i; strict > keeps the
-        # FIRST maximising index (reference argmax tie-break)
+    def maxplus_unrolled(om):
+        # running (max, argmax) over source states i with 2-D ops; strict >
+        # keeps the FIRST maximising index (reference argmax tie-break).
+        # Fast for small M, but Mosaic keeps ~mp live slabs across the
+        # unrolled chain, so bw must shrink as mp grows (see bw cap below).
         mx = lat[:, 0:1] + om[0:1, :]
         am = jnp.zeros((mp, bw), jnp.int32)
         for i in range(1, mp):
@@ -94,6 +96,40 @@ def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref, omf_ref,
             upd = cand > mx
             mx = jnp.where(upd, cand, mx)
             am = jnp.where(upd, jnp.int32(i), am)
+        return mx, am
+
+    def maxplus_grouped(om):
+        # fori_loop over groups of 8 source states: bounded live buffers
+        # (one (8, Mp, BW) slab at a time), so large M keeps a wide window
+        # block.  Ascending groups + strict > preserve first-index ties.
+        # Dynamic slicing works on REFS only (Mosaic has no dynamic_slice
+        # on values), so the omega carry round-trips through scratch.
+        omtmp_s[:] = om
+
+        def group(g, carry):
+            mx, am = carry
+            rows = latt_ref[pl.ds(g * gsz, gsz), :]  # (G, Mp)
+            omg = omtmp_s[pl.ds(g * gsz, gsz), :]  # (G, BW)
+            slab = rows[:, :, None] + omg[:, None, :]  # (G, Mp, BW)
+            gm = jnp.max(slab, axis=0)
+            eq = slab == gm[None]
+            gi = jnp.min(jnp.where(eq, iota_g, jnp.int32(gsz)),
+                         axis=0) + g * gsz
+            upd = gm > mx
+            return jnp.where(upd, gm, mx), jnp.where(upd, gi, am)
+
+        mx0 = jnp.full((mp, bw), jnp.float32(2 * _NEG))
+        am0 = jnp.zeros((mp, bw), jnp.int32)
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(mp // gsz),
+                                 group, (mx0, am0))
+
+    def step(t, om):
+        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        oh = (tok == kio).astype(jnp.bfloat16)
+        e2 = jnp.dot(logbt, oh, preferred_element_type=jnp.float32)
+        loge = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact
+
+        mx, am = maxplus_grouped(om) if grouped else maxplus_unrolled(om)
         new = mx + loge
         new = new - jnp.max(new, axis=0, keepdims=True)  # rescale
 
@@ -157,11 +193,15 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     logbt = jnp.full((mp, _KP), f32(_NEG)).at[:m, :_K].set(log_clip(bfull))
     logbt_cat = split_bf16(logbt)
 
-    # Mosaic keeps ~mp live (mp, bw) slabs across the unrolled max-plus
-    # chain (poor buffer reuse on long unrolled chains), so the window
-    # block must satisfy mp^2 * bw * 4 <~ 12 MB of scoped VMEM or the TPU
-    # compile aborts (observed at Mp=136: bw=128 compiles, bw=256 does not)
-    bw_cap = max(128, (12 * 2**20 // (4 * mp * mp)) // 128 * 128)
+    # Small M: unrolled max-plus (fastest, but Mosaic keeps ~mp live
+    # (mp, bw) slabs across the unrolled chain, so mp^2 * bw * 4 must stay
+    # <~ 12 MB of scoped VMEM).  Large M: grouped fori_loop path with
+    # bounded liveness, keeping a wide window block.
+    grouped = mp > 64
+    if grouped:
+        bw_cap = 1024
+    else:
+        bw_cap = max(128, (12 * 2**20 // (4 * mp * mp)) // 128 * 128)
     bw = min(block_w, bw_cap, _round_up(w, 128))
     wp = _round_up(w, bw)
     pdt = _ptr_dtype(m)
@@ -187,13 +227,14 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     zi = lambda i, j: (i * 0, i)  # noqa: E731
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
     ptrs, omf = pl.pallas_call(
-        functools.partial(_fwd_kernel, mp=mp, chunk_t=tc),
+        functools.partial(_fwd_kernel, mp=mp, chunk_t=tc, grouped=grouped),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -205,9 +246,10 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
             jax.ShapeDtypeStruct((tp, mp, wp), pdt),
             jax.ShapeDtypeStruct((mp, wp), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((mp, bw), f32)],
+        scratch_shapes=[pltpu.VMEM((mp, bw), f32),
+                        pltpu.VMEM((mp, bw), f32)],
         interpret=interpret,
-    )(tok_t, om0_p, logbt_cat, lat)
+    )(tok_t, om0_p, logbt_cat, lat, lat.T)
 
     last = jnp.argmax(omf[:m, :w], axis=0).astype(jnp.int32)  # (W,)
     n_real = rest.shape[1]
