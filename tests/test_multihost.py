@@ -48,7 +48,15 @@ def _reference_values():
     ps = float(jnp.sum(post * wvec))
     long_tok = jnp.asarray(rng.integers(0, 625, size=(8192,)), jnp.int32)
     ll_long = float(decoders.forward_loglik(a, bfull, pi, long_tok[None, :]))
-    return ll, ps, ll_long
+    rng_e = np.random.default_rng(7)
+    v_lst = [rng_e.integers(0, 625, size=n).astype(np.int64)
+             for n in (150, 5000, 700, 300, 120, 80, 2000, 90)]
+    ll_engine = sum(
+        float(decoders.forward_loglik(a, bfull, pi,
+                                      jnp.asarray(v)[None, :]))
+        for v in v_lst
+    )
+    return ll, ps, ll_long, ll_engine
 
 
 @pytest.mark.slow
@@ -74,10 +82,13 @@ def test_two_process_distributed_matches_single(tmp_path):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 
-    ll_ref, ps_ref, ll_long_ref = _reference_values()
+    ll_ref, ps_ref, ll_long_ref, ll_eng_ref = _reference_values()
     for out in outs:
         res = json.load(open(out))
         assert res["n_dev"] == 4  # global mesh spans both processes
         np.testing.assert_allclose(res["ll"], ll_ref, rtol=1e-10)
         np.testing.assert_allclose(res["post_stat"], ps_ref, rtol=1e-8)
         np.testing.assert_allclose(res["ll_long"], ll_long_ref, rtol=1e-8)
+        # the production engine layout (buckets + long routing) across both
+        # processes (BASELINE config 5's mixed whole-genome shape)
+        np.testing.assert_allclose(res["ll_engine"], ll_eng_ref, rtol=1e-8)

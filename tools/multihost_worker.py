@@ -105,9 +105,43 @@ def main():
         sharded_forward_loglik_long_fn(mesh, chunk)(a, bfull, pi, first, tok_sh)
     )
 
+    # 4) the production optimizer engine (bucketed + long routing) across
+    # both processes' devices: BASELINE config 5's mixed whole-genome shape
+    from itrails_tpu.optim.optimizer import LoglikEngine
+
+    rng_e = np.random.default_rng(7)
+    v_lst = [rng_e.integers(0, 625, size=n).astype(np.int64)
+             for n in (150, 5000, 700, 300, 120, 80, 2000, 90)]
+    eng = LoglikEngine.__new__(LoglikEngine)  # decode-only: skip the builder
+    eng.mesh = mesh
+    from itrails_tpu.hmm import longseq_sharded, sharding as hs2, windows
+
+    bucket_idx, long_idx = windows.plan_buckets(
+        [len(v) for v in v_lst], n_dev, long_threshold=2000
+    )
+    eng.buckets = []
+    for idxs in bucket_idx:
+        toks, _, _ = windows.pack_windows(
+            [v_lst[i] for i in idxs], pad_windows_to=n_dev, pad_length_to=128
+        )
+        eng.buckets.append(jax.make_array_from_callback(
+            toks.shape, sh, lambda idx, t=toks: t[idx]
+        ))
+    eng.long_blocks = []
+    eng._loglik = hs2.sharded_loglik_fn(mesh)
+    eng._long_fn = None
+    import functools as ft
+
+    eng._long_fn = ft.partial(
+        longseq_sharded.sharded_forward_loglik_long, mesh=mesh, chunk=64
+    )
+    # long blocks enter via device_put inside the sharded fn; pass raw
+    eng.long_blocks = [jnp.asarray(v_lst[i], jnp.int32) for i in long_idx]
+    ll_engine = float(eng._decode(a, bfull, pi))
+
     with open(out, "w") as f:
         json.dump({"pid": pid, "n_dev": n_dev, "ll": ll, "post_stat": ps,
-                   "ll_long": ll_long}, f)
+                   "ll_long": ll_long, "ll_engine": ll_engine}, f)
 
 
 if __name__ == "__main__":
