@@ -185,3 +185,40 @@ def test_optimizer_mixed_layout_smoke(tmp_path):
         engine=eng,
     )
     assert np.isfinite(res.fun)
+
+
+@pytest.mark.slow
+def test_mixed_layout_gradients_match_finite_differences():
+    """Exact-gradient path over a bucketed + long-block layout: the summed
+    decode cotangents (window kernel grads + the remat long-block grads)
+    chained through the builder must match finite differences of the
+    engine's value path."""
+    from itrails_tpu.optim.cases import resolve_times
+
+    rng = np.random.default_rng(21)
+    v_lst = [rng.integers(0, 625, size=n).astype(np.int64)
+             for n in (150, 2500, 400)]
+    eng = LoglikEngine(v_lst, 1, 1, dtype="float64", long_threshold=1000,
+                       chunk=64)
+    assert eng.buckets and eng.long_blocks  # genuinely mixed
+    optim_vars = ["t_1", "N_ABC"]
+    fixed = {"n_int_AB": 1, "n_int_ABC": 1, "t_2": 0.0004,
+             "t_upper": 0.00745069, "N_AB": 0.0005, "r": 1.0}
+    case = frozenset(["t_1"])
+    vg = eng.loglik_and_grad_fn(optim_vars, fixed, case, resolve_times)
+    x0 = np.array([0.0024, 0.0005])
+    ll, g = vg(x0)
+
+    def f(x):
+        d = dict(fixed)
+        for n, v in zip(optim_vars, x):
+            d[n] = float(v)
+        return eng.loglik(resolve_times(case, d))
+
+    np.testing.assert_allclose(ll, f(x0), rtol=1e-10)
+    for k in range(2):
+        eps = x0[k] * 1e-6
+        e = np.zeros(2)
+        e[k] = eps
+        fd = (f(x0 + e) - f(x0 - e)) / (2 * eps)
+        np.testing.assert_allclose(g[k], fd, rtol=1e-3)
