@@ -15,9 +15,9 @@ This pair of kernels reaches ~135 Mcol/s (v5e, M=27, measured):
   with strict-greater updates (first-index tie-break, matching
   decoders.viterbi exactly);
 * backpointers are stored in the narrowest int that holds a state index
-  (int8 for M <= 127, e.g. the 27-state default; int16 for the 133-state
-  flagship): 2-4x less VMEM/HBM traffic than int32, which both widens the
-  time-chunking and feeds the backtrack cheaply;
+  (int8 for M <= 127, e.g. the 27-state default): 4x less VMEM/HBM
+  traffic than int32, which both widens the time-chunking and feeds the
+  backtrack cheaply;
 * backtrack: a second kernel walks the int8 pointer table in reverse grid
   order; the per-lane row-select ptr[t][state_w, w] (TPU has no per-lane
   gather) is an equality one-hot times the pointer block summed over
@@ -25,6 +25,23 @@ This pair of kernels reaches ~135 Mcol/s (v5e, M=27, measured):
   forward;
 * omega is rescaled by its per-window max every step, so f32 keeps full
   resolution on state *differences* regardless of sequence length.
+
+Large M (> 64 states, e.g. the 133-state flagship) uses a VALUE-ONLY
+forward + pointer-recompute backtrack instead (round 2, ~2x):
+
+* the forward stores each step's INCOMING rescaled omega (f32) and skips
+  all argmax bookkeeping — the grouped max-plus drops from ~5.3*Mp^2 to
+  ~2.1*Mp^2 VPU ops/column, and at Mp=136 the argmax machinery (eq +
+  min-iota + strict-> merge per 8-row group) was over half the kernel;
+* the backtrack recomputes the ONE pointer actually needed per column:
+  select row lat[state_w, :] for every lane via an exact one-hot matmul
+  (split-bf16 lat, bit-exact f32 rows, on the MXU), add the stored
+  omega, and arg-reduce over sublanes with the eq + min-iota trick.
+  Scores are the same f32 sums the forward maximised, so ties break
+  identically (first index) and parity with decoders.viterbi is exact;
+* cost: omega storage is f32 (2x the bytes of int16 pointers), but the
+  pointer-recompute rides the otherwise-idle MXU, and HBM stays far from
+  the bound.
 
 No -inf anywhere: log-probabilities are clamped at ``_NEG`` (-inf would
 break the one-hot matmul: 0 * inf = NaN in the f32 accumulation).
@@ -65,9 +82,8 @@ def _ptr_dtype(m: int):
     return jnp.int8 if m <= 127 else jnp.int16
 
 
-def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, latt_ref, ptr_ref,
-                omf_ref, om_s, omtmp_s, *, mp: int, chunk_t: int,
-                grouped: bool):
+def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, ptr_ref,
+                omf_ref, om_s, *, mp: int, chunk_t: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -76,13 +92,9 @@ def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, latt_ref, ptr_ref,
 
     logbt = logbt_ref[:]  # (3Mp, KP) bf16 hi/mid/lo log-emission
     lat = lat_ref[:]  # (Mp, Mp) f32: lat[j_state, i_state] = log a[i, j]
-    # latt_ref: lat.T (source states on sublanes), read in dynamic slices
-    # by the grouped path
     bw = tok_ref.shape[1]
     kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, bw), 0)
-    gsz = 8  # source-state group size of the large-M path
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (gsz, mp, bw), 0)
 
     def maxplus_unrolled(om):
         # running (max, argmax) over source states i with 2-D ops; strict >
@@ -98,38 +110,13 @@ def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, latt_ref, ptr_ref,
             am = jnp.where(upd, jnp.int32(i), am)
         return mx, am
 
-    def maxplus_grouped(om):
-        # fori_loop over groups of 8 source states: bounded live buffers
-        # (one (8, Mp, BW) slab at a time), so large M keeps a wide window
-        # block.  Ascending groups + strict > preserve first-index ties.
-        # Dynamic slicing works on REFS only (Mosaic has no dynamic_slice
-        # on values), so the omega carry round-trips through scratch.
-        omtmp_s[:] = om
-
-        def group(g, carry):
-            mx, am = carry
-            rows = latt_ref[pl.ds(g * gsz, gsz), :]  # (G, Mp)
-            omg = omtmp_s[pl.ds(g * gsz, gsz), :]  # (G, BW)
-            slab = rows[:, :, None] + omg[:, None, :]  # (G, Mp, BW)
-            gm = jnp.max(slab, axis=0)
-            eq = slab == gm[None]
-            gi = jnp.min(jnp.where(eq, iota_g, jnp.int32(gsz)),
-                         axis=0) + g * gsz
-            upd = gm > mx
-            return jnp.where(upd, gm, mx), jnp.where(upd, gi, am)
-
-        mx0 = jnp.full((mp, bw), jnp.float32(2 * _NEG))
-        am0 = jnp.zeros((mp, bw), jnp.int32)
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(mp // gsz),
-                                 group, (mx0, am0))
-
     def step(t, om):
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
         oh = (tok == kio).astype(jnp.bfloat16)
         e2 = jnp.dot(logbt, oh, preferred_element_type=jnp.float32)
         loge = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact
 
-        mx, am = maxplus_grouped(om) if grouped else maxplus_unrolled(om)
+        mx, am = maxplus_unrolled(om)
         new = mx + loge
         new = new - jnp.max(new, axis=0, keepdims=True)  # rescale
 
@@ -146,6 +133,97 @@ def _fwd_kernel(tok_ref, om0_ref, logbt_ref, lat_ref, latt_ref, ptr_ref,
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
         omf_ref[:] = om_s[:]
+
+
+def _fwd_kernel_vo(tok_ref, om0_ref, logbt_ref, latt_ref, om_all_ref,
+                   omf_ref, om_s, omtmp_s, *, mp: int, chunk_t: int):
+    """Value-only forward for large M: stores each step's INCOMING rescaled
+    omega (f32) instead of backpointers; the grouped max-plus keeps no
+    argmax state (~2.5x fewer VPU ops/column than the pointer variant)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        om_s[:] = om0_ref[:]
+
+    logbt = logbt_ref[:]  # (3Mp, KP) bf16 hi/mid/lo log-emission
+    bw = tok_ref.shape[1]
+    kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+    gsz = 8  # source-state group size
+
+    def maxplus_valonly(om):
+        # fori_loop over groups of 8 source states: bounded live buffers
+        # (one (8, Mp, BW) slab at a time), so large M keeps a wide window
+        # block.  Dynamic slicing works on REFS only (Mosaic has no
+        # dynamic_slice on values), so omega round-trips through scratch.
+        omtmp_s[:] = om
+
+        def group(g, mx):
+            rows = latt_ref[pl.ds(g * gsz, gsz), :]  # (G, Mp)
+            omg = omtmp_s[pl.ds(g * gsz, gsz), :]  # (G, BW)
+            slab = rows[:, :, None] + omg[:, None, :]  # (G, Mp, BW)
+            return jnp.maximum(mx, jnp.max(slab, axis=0))
+
+        mx0 = jnp.full((mp, bw), jnp.float32(2 * _NEG))
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(mp // gsz),
+                                 group, mx0)
+
+    def step(t, om):
+        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        om_all_ref[pl.ds(t, 1), :, :] = om[None]  # omega ENTERING step t
+        oh = (tok == kio).astype(jnp.bfloat16)
+        e2 = jnp.dot(logbt, oh, preferred_element_type=jnp.float32)
+        loge = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact
+
+        new = maxplus_valonly(om) + loge
+        new = new - jnp.max(new, axis=0, keepdims=True)  # rescale
+        pad = tok == PAD_TOKEN
+        return jnp.where(pad, om, new)
+
+    om = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk_t), step, om_s[:])
+    om_s[:] = om
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        omf_ref[:] = om_s[:]
+
+
+def _bwd_kernel_vo(tok_ref, om_all_ref, latt3_ref, st0_ref, path_ref, st_s,
+                   *, mp: int, chunk_t: int):
+    """Pointer-recompute backtrack for the value-only path: at column t,
+    select row lat[state_w, :] per lane via an exact one-hot matmul
+    (split-bf16 latt3, f32-exact), add the stored incoming omega, and take
+    the FIRST maximising source index (eq + min-iota).  The scores are the
+    same f32 sums the forward maximised, so the path matches the pointer
+    variant (and decoders.viterbi) exactly, ties included."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        st_s[:] = st0_ref[:]
+
+    latt3 = latt3_ref[:]  # (3Mp, Mp) bf16: split of lat.T (dest on lanes)
+    bw = path_ref.shape[1]
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, bw), 0)
+
+    def step(k, st):
+        t = chunk_t - 1 - k
+        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        ohj = (st == sub_ids).astype(jnp.bfloat16)  # (Mp, BW) dest one-hot
+        s2 = jnp.dot(latt3, ohj, preferred_element_type=jnp.float32)
+        sel = s2[:mp] + s2[mp:2 * mp] + s2[2 * mp:]  # lat[st_w, i] per lane
+        score = om_all_ref[t] + sel  # (Mp, BW)
+        mx = jnp.max(score, axis=0, keepdims=True)
+        prev = jnp.min(
+            jnp.where(score == mx, sub_ids, jnp.int32(mp)), axis=0,
+            keepdims=True,
+        )
+        prev = jnp.where(tok == PAD_TOKEN, st, prev)
+        path_ref[pl.ds(t, 1), :] = prev
+        return prev
+
+    st = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk_t), step, st_s[:])
+    st_s[:] = st
 
 
 def _bwd_kernel(ptr_ref, st0_ref, path_ref, st_s, *, mp: int, chunk_t: int):
@@ -195,19 +273,20 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
 
     # Small M: unrolled max-plus (fastest, but Mosaic keeps ~mp live
     # (mp, bw) slabs across the unrolled chain, so mp^2 * bw * 4 must stay
-    # <~ 12 MB of scoped VMEM).  Large M: grouped fori_loop path with
-    # bounded liveness, keeping a wide window block.
+    # <~ 12 MB of scoped VMEM).  Large M: value-only forward + pointer
+    # recompute (grouped fori_loop, bounded liveness, wide window block).
     grouped = mp > 64
     if grouped:
         bw_cap = 1024
+        pdt, pbytes = jnp.float32, 4  # stores f32 omegas, not pointers
     else:
         bw_cap = max(128, (12 * 2**20 // (4 * mp * mp)) // 128 * 128)
+        pdt = _ptr_dtype(m)
+        pbytes = jnp.dtype(pdt).itemsize
     bw = min(block_w, bw_cap, _round_up(w, 128))
     wp = _round_up(w, bw)
-    pdt = _ptr_dtype(m)
-    pbytes = jnp.dtype(pdt).itemsize
-    # the (tc, Mp, BW) narrow-int backpointer block is the VMEM hog; cap it
-    # at ~4 MB per pipeline buffer (int8: 4x the columns of int32)
+    # the (tc, Mp, BW) pointer/omega block is the VMEM hog; cap it at
+    # ~4 MB per pipeline buffer (int8: 4x the columns of int32)
     tc = min(chunk_t, max(8, (4 * 2**20 // (mp * bw * pbytes)) // 8 * 8))
 
     tok0 = tokens[:, 0]
@@ -226,15 +305,22 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     n_j = tp // tc
     zi = lambda i, j: (i * 0, i)  # noqa: E731
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
+    if grouped:
+        fwd = functools.partial(_fwd_kernel_vo, mp=mp, chunk_t=tc)
+        fwd_inputs = (tok_t, om0_p, logbt_cat, lat.T)
+        fwd_scratch = [pltpu.VMEM((mp, bw), f32), pltpu.VMEM((mp, bw), f32)]
+    else:
+        fwd = functools.partial(_fwd_kernel, mp=mp, chunk_t=tc)
+        fwd_inputs = (tok_t, om0_p, logbt_cat, lat)
+        fwd_scratch = [pltpu.VMEM((mp, bw), f32)]
     ptrs, omf = pl.pallas_call(
-        functools.partial(_fwd_kernel, mp=mp, chunk_t=tc, grouped=grouped),
+        fwd,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -246,27 +332,46 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
             jax.ShapeDtypeStruct((tp, mp, wp), pdt),
             jax.ShapeDtypeStruct((mp, wp), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((mp, bw), f32),
-                        pltpu.VMEM((mp, bw), f32)],
+        scratch_shapes=fwd_scratch,
         interpret=interpret,
-    )(tok_t, om0_p, logbt_cat, lat, lat.T)
+    )(*fwd_inputs)
 
     last = jnp.argmax(omf[:m, :w], axis=0).astype(jnp.int32)  # (W,)
     n_real = rest.shape[1]
     last_p = jnp.zeros((1, wp), jnp.int32).at[0, :w].set(last)
+    rev = lambda i, j: (i * 0 + n_j - 1 - j, i)  # noqa: E731
     rev3 = lambda i, j: (i * 0 + n_j - 1 - j, i * 0, i)  # noqa: E731
     revp = lambda i, j: (i * 0 + n_j - 1 - j, i)  # noqa: E731
-    path = pl.pallas_call(
-        functools.partial(_bwd_kernel, mp=mp, chunk_t=tc),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tc, bw), revp, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, wp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, bw), jnp.int32)],
-        interpret=interpret,
-    )(ptrs, last_p)
+    if grouped:
+        latt3 = split_bf16(lat.T)  # (3Mp, Mp) exact split of lat.T
+        path = pl.pallas_call(
+            functools.partial(_bwd_kernel_vo, mp=mp, chunk_t=tc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tc, bw), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * mp, mp), zz, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc, bw), revp,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((tp, wp), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((1, bw), jnp.int32)],
+            interpret=interpret,
+        )(tok_t, ptrs, latt3, last_p)
+    else:
+        path = pl.pallas_call(
+            functools.partial(_bwd_kernel, mp=mp, chunk_t=tc),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc, bw), revp,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((tp, wp), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((1, bw), jnp.int32)],
+            interpret=interpret,
+        )(ptrs, last_p)
     full = jnp.concatenate([path[:n_real, :w], last[None, :]], axis=0)
     return full.T

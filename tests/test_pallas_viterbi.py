@@ -34,8 +34,9 @@ def test_fused_viterbi_matches_scan(m):
     np.testing.assert_array_equal(p_ker, p_ref)
 
 
-def test_fused_viterbi_respects_padding():
-    a, bfull, pi = _random_model(27, seed=2)
+@pytest.mark.parametrize("m", [27, 133])
+def test_fused_viterbi_respects_padding(m):
+    a, bfull, pi = _random_model(m, seed=2)
     rng = np.random.default_rng(3)
     tokens = np.asarray(rng.integers(0, 625, size=(3, 40)), np.int32)
     tokens[1, 25:] = PAD_TOKEN

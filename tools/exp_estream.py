@@ -1,9 +1,17 @@
-"""Experiment: measure the two stages of the emission-precompute decode plan.
+"""NEGATIVE RESULT (round 2): two-pass emission-precompute decode plan.
 
 Stage 1: E = btcat @ onehot(tokens) for the whole batch, as a chunked XLA
          einsum (MXU utilization for the gather-as-matmul).
 Stage 2: a forward scan kernel that reads precomputed E from HBM instead of
          building one-hot emissions per step (HBM-bandwidth bound).
+
+Measured (v5e, M=27, 32 Mcol batch): stage 1 ALONE runs at 0.475 Gcol/s
+(f32 out) / 0.818 Gcol/s (bf16 out) — no faster than the entire fused
+one-pass kernel (0.58 Gcol/s), so the plan cannot win even with a free
+stage 2; and the stage-2 stream kernel VMEM-OOMs at any (tc, Mp, BW)
+block worth keeping (the (tc, 32, 4096) E block + its double buffer blow
+the 16 MB budget).  The production one-pass kernel stays.  In-kernel
+variants are explored in exp_fwd_pipe.py instead.
 
 Run on the real TPU; prints Gcol/s per stage and combined.
 """
