@@ -17,6 +17,8 @@ from itrails_tpu.optim.cases import ALLOWED_CASES, resolve_times
 
 __all__ = [
     "standard_parser",
+    "decode_parser",
+    "merge_decode_overrides",
     "resolve_io",
     "prepare_optimize_setup",
     "prepare_decode_setup",
@@ -40,6 +42,140 @@ def standard_parser(description, usage=None):
     p.add_argument("--output", type=str, required=False,
                    help="Path and prefix for output files ('directory/prefix').")
     return p
+
+
+def decode_parser(description, usage=None, introgression=False):
+    """Full decode-workflow parser: per-parameter override flags and
+    config-optional invocation, flag-for-flag with the reference
+    (workflow_viterbi.py:19-88; int variants add --t_m/--N_BC/--m,
+    workflow_int_viterbi.py:52-90)."""
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description=description, usage=usage)
+    p.add_argument("config_file", type=str, nargs="?", default=None,
+                   help="Path to the YAML config file (equivalently "
+                        "--config-file).")
+    p.add_argument("--config-file", dest="config_file_flag", type=str,
+                   required=False, help="Path to the YAML config file.")
+    p.add_argument("--input", type=str, required=False,
+                   help="Path to the MAF alignment file.")
+    p.add_argument("--output", type=str, required=False,
+                   help="Path and prefix for output files ('directory/prefix').")
+    # Parameter overrides (always land in fixed_parameters)
+    p.add_argument("--mu", type=float, help="Mutation rate")
+    p.add_argument("--t1", type=float, help="Time parameter t_1")
+    p.add_argument("--t_A", type=float, help="Time to speciation for species A")
+    p.add_argument("--t_B", type=float, help="Time to speciation for species B")
+    p.add_argument("--t_C", type=float, help="Time to speciation for species C")
+    p.add_argument("--t2", type=float,
+                   help="Time between first and second speciation")
+    if introgression:
+        p.add_argument("--t_m", type=float, help="Time parameter t_m")
+    p.add_argument("--t3", type=float, help="Time parameter t_3")
+    p.add_argument("--t_upper", type=float, help="Upper time parameter")
+    p.add_argument("--t_out", type=float, help="Outgroup time parameter")
+    p.add_argument("--N_AB", type=float, help="Effective population size for AB")
+    p.add_argument("--N_ABC", type=float, help="Effective population size for ABC")
+    if introgression:
+        p.add_argument("--N_BC", type=float,
+                       help="Effective population size for BC")
+    p.add_argument("--r", type=float, help="Recombination rate")
+    if introgression:
+        p.add_argument("--m", type=float, help="Migration rate between species")
+    # Settings overrides
+    p.add_argument("--n_cpu", type=int, help="Number of CPUs to use")
+    p.add_argument("--species_list", nargs="+", help="List of species names")
+    p.add_argument("--reference", type=str,
+                   help="Reference to polarize coordinates")
+    p.add_argument("--n_int_AB", type=int, help="Number of intervals for AB")
+    p.add_argument("--n_int_ABC", type=int, help="Number of intervals for ABC")
+    p.add_argument("--cutpoints_AB", nargs="+", type=float,
+                   help="Manual cutpoints for AB intervals")
+    p.add_argument("--cutpoints_ABC", nargs="+", type=float,
+                   help="Manual cutpoints for ABC intervals")
+    p.add_argument("--precision", choices=["float32", "float64"],
+                   default="float64")
+    return p
+
+
+def merge_decode_overrides(args, introgression=False):
+    """Merge CLI override flags into the (possibly absent) config, with the
+    reference's precedence: a CLI parameter removes the entry from
+    optimized_parameters and pins it in fixed_parameters
+    (workflow_viterbi.py:89-158)."""
+    from itrails_tpu.config import load_config
+
+    config_path = args.config_file or args.config_file_flag
+    if args.config_file and args.config_file_flag:
+        raise ValueError(
+            "Error: config file given both positionally and via --config-file."
+        )
+    config = load_config(config_path) if config_path else {}
+    for key in ("fixed_parameters", "optimized_parameters", "settings"):
+        if config.get(key) is None:
+            config[key] = {}
+    fixed = config["fixed_parameters"]
+    optimized = config["optimized_parameters"]
+    settings = config["settings"]
+
+    if args.mu is not None:
+        fixed["mu"] = args.mu
+    elif "mu" not in fixed:
+        raise ValueError(
+            "Error: mu must be specified either in config file or via --mu"
+        )
+
+    params = {
+        "t_1": args.t1, "t_A": args.t_A, "t_B": args.t_B, "t_C": args.t_C,
+        "t_2": args.t2, "t_3": args.t3, "t_upper": args.t_upper,
+        "t_out": args.t_out, "N_AB": args.N_AB, "N_ABC": args.N_ABC,
+        "r": args.r,
+    }
+    if introgression:
+        params.update({"t_m": args.t_m, "N_BC": args.N_BC, "m": args.m})
+    for name, value in params.items():
+        if value is not None:
+            if name in optimized:
+                print(f"Warning: parameter '{name}' specified in both config "
+                      f"file and command-line. Using command-line value.")
+                del optimized[name]
+            elif name in fixed:
+                print(f"Warning: parameter '{name}' specified in both config "
+                      f"file and command-line. Using command-line value.")
+            fixed[name] = value
+
+    for name in ("n_cpu", "species_list", "reference", "n_int_AB",
+                 "n_int_ABC", "cutpoints_AB", "cutpoints_ABC"):
+        value = getattr(args, name)
+        if value is not None:
+            settings[name] = value
+
+    # interval-count validation / derivation from manual cutpoints
+    # (reference workflow_viterbi.py:208-228; n_int derivation is ours —
+    # the reference crashes downstream when only cutpoints are given)
+    if not settings.get("n_int_AB") and not settings.get("cutpoints_AB"):
+        raise ValueError(
+            "Error: n_int_AB must be specified in the config file for "
+            "automatic cutpoints, n_int_AB and cutpoints_AB must be "
+            "specified in the config file for manual cutpoints."
+        )
+    if not settings.get("n_int_ABC") and not settings.get("cutpoints_ABC"):
+        raise ValueError(
+            "Error: n_int_ABC must be specified in the config file for "
+            "automatic cutpoints, n_int_ABC and cutpoints_ABC must be "
+            "specified in the config file for manual cutpoints."
+        )
+    if not settings.get("n_int_AB"):
+        settings["n_int_AB"] = len(settings["cutpoints_AB"]) - 1
+    if not settings.get("n_int_ABC"):
+        settings["n_int_ABC"] = len(settings["cutpoints_ABC"])
+
+    from itrails_tpu.utils.resources import update_n_cpu
+
+    requested = settings.get("n_cpu")
+    n_cpu = update_n_cpu(requested)
+    if requested is None:
+        print(f"No CPU count specified in config; using default {n_cpu} cores.")
+    return config
 
 
 def resolve_io(config, args):

@@ -26,6 +26,52 @@ TOPOLOGY_MAP = {
 }
 
 
+def decode_main(argv, description, usage, introgression, posterior):
+    """Shared main() for the four decode CLIs: full per-parameter override
+    flags + config-optional invocation (reference workflow_viterbi.py:19-158
+    and int variants)."""
+    import sys
+
+    from itrails_tpu import __version__
+    from itrails_tpu.cli import common
+
+    parser = common.decode_parser(description, usage=usage,
+                                  introgression=introgression)
+    parser.add_argument("--version", action="version",
+                        version=f"%(prog)s {__version__}")
+    if argv is None:
+        argv = sys.argv[1:]
+    if not argv:
+        parser.print_usage()
+        sys.exit("Error: No arguments provided. Please provide either a "
+                 "config file, command-line parameters, or both.")
+    args = parser.parse_args(argv)
+    config = common.merge_decode_overrides(args, introgression=introgression)
+    setup, v_lst, coords, output_dir, output_prefix = load_inputs(
+        config, args, introgression=introgression
+    )
+    print("Calculating transition and emission probability matrices.")
+    model, a, bfull, pi = build(setup, args.precision)
+    write_hidden_states(
+        os.path.join(output_dir, f"{output_prefix}.hidden_states.csv"),
+        model, setup, first_interval_from_ab=posterior,
+    )
+    if posterior:
+        print("Running posterior decoding.")
+        results = run_posterior(a, bfull, pi, v_lst)
+        write_posterior_csv(
+            os.path.join(output_dir, f"{output_prefix}.posterior.csv"),
+            results, coords,
+        )
+    else:
+        print("Running viterbi.")
+        results = run_viterbi(a, bfull, pi, v_lst)
+        write_viterbi_csv(
+            os.path.join(output_dir, f"{output_prefix}.viterbi.csv"),
+            results, coords,
+        )
+
+
 def load_inputs(config, args, introgression=False):
     maf_path, user_output, output_dir, output_prefix = resolve_io(config, args)
     setup = prepare_decode_setup(config, introgression=introgression)

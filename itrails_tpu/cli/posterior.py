@@ -3,38 +3,17 @@
 
 from __future__ import annotations
 
-import os
-
-from itrails_tpu import __version__
 from itrails_tpu.cli import decode
-from itrails_tpu.cli.common import standard_parser
-from itrails_tpu.config import load_config
 
 
 def main(argv=None):
-    parser = standard_parser(
+    decode.decode_main(
+        argv,
         "Posterior workflow using iTRAILS-TPU",
-        usage="itrails-tpu-posterior <config.yaml> --output OUTPUT_PATH",
-    )
-    parser.add_argument("--version", action="version",
-                        version=f"%(prog)s {__version__}")
-    parser.add_argument("--precision", choices=["float32", "float64"],
-                        default="float64")
-    args = parser.parse_args(argv)
-
-    config = load_config(args.config_file)
-    setup, v_lst, coords, output_dir, output_prefix = decode.load_inputs(config, args)
-
-    print("Calculating transition and emission probability matrices.")
-    model, a, bfull, pi = decode.build(setup, args.precision)
-    decode.write_hidden_states(
-        os.path.join(output_dir, f"{output_prefix}.hidden_states.csv"),
-        model, setup, first_interval_from_ab=True,
-    )
-    print("Running posterior decoding.")
-    results = decode.run_posterior(a, bfull, pi, v_lst)
-    decode.write_posterior_csv(
-        os.path.join(output_dir, f"{output_prefix}.posterior.csv"), results, coords
+        usage=("itrails-tpu-posterior --config-file CONFIG_FILE --input "
+               "PATH_MAF --output OUTPUT_PATH --PARAMETERS"),
+        introgression=False,
+        posterior=True,
     )
 
 

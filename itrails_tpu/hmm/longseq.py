@@ -270,6 +270,26 @@ def forward_loglik_long_remat(a, bfull, pi, tokens, chunk: int = 512,
     return jnp.log(jnp.maximum(jnp.sum(al), jnp.finfo(a.dtype).tiny)) + logz
 
 
+def _backtrack_walk(ptrs, state):
+    """Walk a (n, M) backpointer table from ``state`` (the state at
+    position n); returns the (n,) int32 state sequence.  Native C at
+    memory speed when a compiler is available (native/backtrack.cpp —
+    ~1e8 dependent loads instead of 1e8 Python iterations), else the
+    serial Python loop."""
+    import numpy as np
+
+    from itrails_tpu import native
+
+    if native.backtrack_available():
+        return native.viterbi_backtrack_native(ptrs, state)
+    n = ptrs.shape[0]
+    out = np.empty(n, dtype=np.int32)
+    for t in range(n - 1, -1, -1):
+        state = ptrs[t][state]
+        out[t] = state
+    return out
+
+
 def viterbi_long(a, bfull, pi, tokens, chunk: int = 256):
     """Exact Viterbi path for one long block, sequence-parallel.
 
@@ -339,8 +359,7 @@ def viterbi_long(a, bfull, pi, tokens, chunk: int = 256):
     final_omega = omegas[-1] if stream_len else np.asarray(omega0)
     path = np.empty(t_len, dtype=np.int32)
     path[-1] = int(np.argmax(final_omega))
-    for t in range(t_len - 2, -1, -1):
-        path[t] = ptrs[t][path[t + 1]]
+    path[:stream_len] = _backtrack_walk(ptrs, path[-1])
     return path
 
 
@@ -463,7 +482,7 @@ def viterbi_segmented(a, bfull, pi, tokens, chunk: int = 256,
         ptrs = ptrs.transpose(1, 0, 2).reshape(-1, m)  # segment stream order
         lo = s * seg_cols
         hi = min((s + 1) * seg_cols, stream_len)
-        for t in range(hi - 1, lo - 1, -1):
-            state = ptrs[t - lo][state]
-            path[t] = state  # global position t (= stream index t's source)
+        # device-recomputed segment table, memory-speed native walk
+        path[lo:hi] = _backtrack_walk(ptrs[: hi - lo], state)
+        state = path[lo]
     return path

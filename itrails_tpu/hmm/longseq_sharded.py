@@ -25,6 +25,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from itrails_tpu.data.tokens import PAD_TOKEN
+from itrails_tpu.hmm import longseq
 from itrails_tpu.hmm.longseq import _combine, chunk_operators
 
 __all__ = ["sharded_forward_loglik_long", "sharded_forward_loglik_long_fn",
@@ -300,8 +301,7 @@ def sharded_viterbi_long(a, bfull, pi, tokens, mesh: Mesh,
     ptrs = np.asarray(ptrs).reshape(-1, m)[:stream_len]
     path = np.empty(t_len, dtype=np.int32)
     path[-1] = int(np.argmax(np.asarray(omega_fin)))
-    for t in range(t_len - 2, -1, -1):
-        path[t] = ptrs[t][path[t + 1]]
+    path[:stream_len] = longseq._backtrack_walk(ptrs, path[-1])
     return path
 
 
@@ -456,7 +456,6 @@ def sharded_viterbi_segmented(a, bfull, pi, tokens, mesh: Mesh,
         ptrs = ptrs.reshape(-1, m)  # segment stream order
         lo = s * seg_cols
         hi = min((s + 1) * seg_cols, stream_len)
-        for t in range(hi - 1, lo - 1, -1):
-            state = ptrs[t - lo][state]
-            path[t] = state
+        path[lo:hi] = longseq._backtrack_walk(ptrs[: hi - lo], state)
+        state = path[lo]
     return path

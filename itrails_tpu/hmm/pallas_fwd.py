@@ -42,6 +42,7 @@ __all__ = ["forward_loglik_fused", "forward_fused", "posterior_fused",
 
 _K = 625  # alphabet size
 _KP = 640  # padded to a lane multiple
+_KB = 256  # unambiguous base-column count (multi-hot contraction width)
 
 
 def supported(platform: str | None = None) -> bool:
@@ -83,9 +84,49 @@ def split_bf16(table, parts: int = 3):
     return jnp.concatenate(chunks, axis=0)
 
 
+def _make_emission(multihot: bool, btcat, bw: int, mp: int):
+    """Per-step emission-row closure, (1, BW) tokens -> (Mp, BW) f32.
+
+    onehot: token-id == iota one-hot over the KP=640 alphabet, times the
+    triple-bf16 split of the FULL (ambiguity-aggregated) table — rows are
+    bit-exact f32 table values.
+
+    multihot: tokens arrive as 3-bit-per-position symbol codes
+    (data.tokens.token_bit_codes); the ambiguity-resolution multi-hot over
+    the 256 unambiguous columns is built in-register from shift/and digit
+    compares (N == digit 4 matches everything), and one (3Mp, 256) x
+    (256, BW) bf16 matmul against the split BASE table both looks up and
+    aggregates — 2.5x fewer MXU FLOPs than onehot.  For unambiguous tokens
+    (the bulk of real alignments) the row is the same bit-exact f32 value;
+    for N-containing tokens the sum is accumulated on the MXU instead of
+    in the XLA table-build matmul, so values agree to f32 roundoff
+    (~1e-7 relative) rather than bitwise."""
+    if multihot:
+        cio = jax.lax.broadcasted_iota(jnp.int32, (_KB, bw), 0)
+        cd = (cio >> 6, (cio >> 4) & 3, (cio >> 2) & 3, cio & 3)
+
+        def em(tok):
+            q = ((((tok & 7) == cd[0]) | ((tok & 7) == 4))
+                 & ((((tok >> 3) & 7) == cd[1]) | (((tok >> 3) & 7) == 4))
+                 & ((((tok >> 6) & 7) == cd[2]) | (((tok >> 6) & 7) == 4))
+                 & ((((tok >> 9) & 7) == cd[3]) | (((tok >> 9) & 7) == 4)))
+            e2 = jnp.dot(btcat, q.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            return e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
+    else:
+        kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+
+        def em(tok):
+            oh = (tok == kio).astype(jnp.bfloat16)  # (KP, BW)
+            e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
+            return e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
+
+    return em
+
+
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
             ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
-            al_all_ref=None):
+            multihot: bool = False, al_all_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -93,18 +134,16 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         al_s[:] = al0_ref[:]
         acc_s[:] = acc0_ref[:]
 
-    btcat = btcat_ref[:]  # (3*Mp, KP) bf16 (hi/mid/lo residual split)
+    btcat = btcat_ref[:]  # (3*Mp, KP|KB) bf16 (hi/mid/lo residual split)
     at = at_ref[:]  # (Mp, Mp) f32, transition transposed
 
     bw = tok_ref.shape[1]
-    kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+    em = _make_emission(multihot, btcat, bw, mp)
 
     def step(t, carry):
         al, acc = carry
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
-        oh = (tok == kio).astype(jnp.bfloat16)  # (KP, BW)
-        e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
-        e = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact rows
+        e = em(tok)  # (Mp, BW) f32 emission rows
         nx = jnp.dot(at, al, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST) * e
         s = jnp.sum(nx, axis=0, keepdims=True)  # (1, BW)
@@ -130,11 +169,38 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         alf_ref[:] = al_s[:]
 
 
+def _model_tensors(a, bfull, mp: int, m: int, multihot: bool):
+    """Padded transposed transition + split emission table for the fused
+    kernels (multihot: the (Mp, 256) BASE table; onehot: the full (Mp, KP)
+    aggregated table)."""
+    f32 = jnp.float32
+    at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
+    if multihot:
+        bt = jnp.zeros((mp, _KB), f32).at[:m, :].set(
+            bfull[:, :_KB].astype(f32)
+        )
+    else:
+        bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
+    return at, split_bf16(bt)
+
+
+def _token_stream(tokens, multihot: bool):
+    """(W, T) token ids -> the kernel token stream (bit codes when
+    multihot; PAD passes through as -1)."""
+    if not multihot:
+        return tokens
+    from itrails_tpu.data.tokens import token_bit_codes
+
+    codes = jnp.asarray(token_bit_codes())
+    return jnp.where(tokens < 0, tokens, codes[jnp.maximum(tokens, 0)])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_w", "chunk_t", "interpret")
+    jax.jit, static_argnames=("block_w", "chunk_t", "interpret", "emission")
 )
 def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
-                  chunk_t: int = 128, interpret: bool = False):
+                  chunk_t: int = 128, interpret: bool = False,
+                  emission: str = "multihot"):
     """Scaled-linear forward pass.
 
     Args:
@@ -142,6 +208,8 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
       bfull: (M, 625) emission table over the full alphabet.
       pi: (M,) initial distribution.
       tokens: (W, T) int32, right-padded with PAD_TOKEN.
+      emission: "multihot" (default; 2.5x fewer emission MXU FLOPs, rows
+        f32-roundoff-exact) or "onehot" (bit-exact table rows).
 
     Returns:
       (alpha, loglik): alpha (W, M) — the *normalised* linear-space final
@@ -153,11 +221,10 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     w, t_len = tokens.shape
     mp = _round_up(max(m, 8), 8)
     f32 = jnp.float32
+    multihot = emission == "multihot"
+    kb = _KB if multihot else _KP
 
-    # padded, transposed model tensors
-    at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
-    bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
-    btcat = split_bf16(bt)  # (3Mp, KP)
+    at, btcat = _model_tensors(a, bfull, mp, m, multihot)
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
@@ -175,7 +242,7 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     acc0_p = jnp.zeros((1, wp), f32).at[0, :w].set(acc0)
 
     tc = chunk_t
-    rest = tokens[:, 1:]
+    rest = _token_stream(tokens[:, 1:], multihot)
     tp = max(_round_up(rest.shape[1], tc), tc)
     tok_t = jnp.full((tp, wp), PAD_TOKEN, jnp.int32)
     tok_t = tok_t.at[: rest.shape[1], :w].set(rest.T.astype(jnp.int32))
@@ -186,14 +253,14 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     zi = lambda i, j: (i * 0, i)  # noqa: E731
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
     ll, alf = pl.pallas_call(
-        functools.partial(_kernel, mp=mp, chunk_t=tc),
+        functools.partial(_kernel, mp=mp, chunk_t=tc, multihot=multihot),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * mp, kb), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -84,3 +84,58 @@ def maf_tokens_native(path, species, ref=None, max_block=1 << 24):
                 yield tokens[:n].copy()
     finally:
         lib.maf_close(handle)
+
+
+# ---- Viterbi backtrack walker (backtrack.cpp) ------------------------------
+
+_BT_SRC = os.path.join(_HERE, "backtrack.cpp")
+_BT_LIB = os.path.join(_HERE, "_backtrack.so")
+
+_bt_lib = None
+
+
+def _ensure_backtrack_built():
+    global _bt_lib
+    if _bt_lib is not None:
+        return _bt_lib
+    if (not os.path.exists(_BT_LIB)
+            or os.path.getmtime(_BT_LIB) < os.path.getmtime(_BT_SRC)):
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _BT_SRC,
+               "-o", _BT_LIB]
+        subprocess.run(cmd, check=True, capture_output=True)
+    lib = ctypes.CDLL(_BT_LIB)
+    lib.viterbi_backtrack.restype = None
+    lib.viterbi_backtrack.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _bt_lib = lib
+    return lib
+
+
+def backtrack_available() -> bool:
+    try:
+        _ensure_backtrack_built()
+        return True
+    except Exception:
+        return False
+
+
+def viterbi_backtrack_native(ptrs, state) -> np.ndarray:
+    """Walk a C-contiguous (n, M) int32 backpointer table from ``state``
+    (the state at position n); returns the (n,) int32 state path."""
+    lib = _ensure_backtrack_built()
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.int32)
+    n, m = ptrs.shape
+    path = np.empty(n, dtype=np.int32)
+    lib.viterbi_backtrack(
+        ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n),
+        ctypes.c_int64(m),
+        ctypes.c_int32(int(state)),
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return path

@@ -96,6 +96,31 @@ def test_int_viterbi_and_posterior_cli(tmp_path):
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-8)
 
 
+def test_int_viterbi_cli_flags_only_no_config(tmp_path):
+    """Config-optional int decode via the full flag set (reference
+    workflow_int_viterbi.py:52-160: adds --t_m/--N_BC/--m)."""
+    from itrails_tpu.cli.int_viterbi import main as vmain
+
+    cfg_path = tmp_path / "c.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(_int_config(), f)
+    out_cfg = tmp_path / "cfg" / "run"
+    vmain([str(cfg_path), "--output", str(out_cfg)])
+
+    out_flags = tmp_path / "flags" / "run"
+    vmain([
+        "--input", MAF, "--output", str(out_flags),
+        "--mu", "1e-8", "--t1", "240000", "--t2", "40000",
+        "--t_m", "80000", "--t_upper", "745069.3855",
+        "--N_AB", "50000", "--N_BC", "40000", "--N_ABC", "50000",
+        "--r", "1e-8", "--m", "0.1",
+        "--n_int_AB", "1", "--n_int_ABC", "2",
+        "--species_list", *SPECIES,
+    ])
+    assert (open(tmp_path / "cfg" / "run.viterbi.csv").read()
+            == open(tmp_path / "flags" / "run.viterbi.csv").read())
+
+
 def test_int_proportional_tm(tmp_path):
     from itrails_tpu.cli.common import prepare_decode_setup
 

@@ -61,3 +61,48 @@ def test_native_throughput_exceeds_python(lib_ok, tmp_path):
         np.testing.assert_array_equal(a, b)
     # the native path should never be slower (usually much faster)
     assert t_nat <= t_py * 1.5, (t_nat, t_py)
+
+
+def test_native_backtrack_matches_python():
+    if not native.backtrack_available():
+        import pytest
+
+        pytest.skip("no compiler for native backtrack")
+    rng = np.random.default_rng(0)
+    n, m = 10_000, 27
+    ptrs = rng.integers(0, m, size=(n, m)).astype(np.int32)
+    state = 13
+    out = native.viterbi_backtrack_native(ptrs, state)
+    # serial oracle
+    exp = np.empty(n, np.int32)
+    s = state
+    for t in range(n - 1, -1, -1):
+        s = ptrs[t][s]
+        exp[t] = s
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_backtrack_walk_used_by_viterbi_long():
+    """viterbi_long must produce the decoders.viterbi path after the
+    backtrack refactor (native or fallback walk)."""
+    import jax.numpy as jnp
+
+    from itrails_tpu.hmm import decoders, longseq
+
+    rng = np.random.default_rng(5)
+    m = 9
+    a = rng.random((m, m))
+    a /= a.sum(1, keepdims=True)
+    b = rng.random((m, 256)) * 0.01 + 1e-4
+    from itrails_tpu.data.tokens import aggregation_matrix
+
+    bfull = jnp.asarray(b @ aggregation_matrix().T, jnp.float64)
+    a = jnp.asarray(a, jnp.float64)
+    pi = jnp.asarray(rng.dirichlet(np.ones(m)), jnp.float64)
+    tokens = jnp.asarray(rng.integers(0, 625, size=700), jnp.int32)
+    ref = np.asarray(decoders.viterbi(a, bfull, pi, tokens[None]))[0]
+    out = longseq.viterbi_long(a, bfull, pi, tokens, chunk=64)
+    np.testing.assert_array_equal(out, ref)
+    seg = longseq.viterbi_segmented(a, bfull, pi, tokens, chunk=32,
+                                    seg_chunks=4)
+    np.testing.assert_array_equal(seg, ref)

@@ -13,10 +13,19 @@ from itrails_tpu.hmm import decoders, pallas_fwd
 
 
 def _random_model(m, seed=0):
+    """Random model with an aggregation-CONSISTENT emission table
+    (bfull[:, t] = sum of the compatible base columns), as every production
+    table is — the multihot emission path relies on that identity."""
+    from itrails_tpu.data.tokens import aggregation_matrix
+
     rng = np.random.default_rng(seed)
     a = rng.random((m, m))
     a /= a.sum(1, keepdims=True)
-    bfull = rng.random((m, 625)) * 0.01 + 1e-4
+    b = rng.random((m, 256)) * 0.01 + 1e-4
+    bfull = decoders.emission_table(
+        jnp.asarray(b, jnp.float32),
+        jnp.asarray(aggregation_matrix(), jnp.float32),
+    )
     pi = rng.random(m)
     pi /= pi.sum()
     return (

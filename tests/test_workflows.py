@@ -111,6 +111,66 @@ def test_viterbi_and_posterior_cli(tmp_path):
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-8)
 
 
+def test_viterbi_cli_flags_only_no_config(tmp_path):
+    """Config-optional invocation: every parameter via CLI flags
+    (reference workflow_viterbi.py:52-153), byte-identical to the
+    config-file run."""
+    from itrails_tpu.cli.viterbi import main as viterbi_main
+
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(_decode_config(), f)
+    out_cfg = tmp_path / "cfg" / "run"
+    viterbi_main([str(cfg_path), "--output", str(out_cfg)])
+
+    out_flags = tmp_path / "flags" / "run"
+    viterbi_main([
+        "--input", MAF, "--output", str(out_flags),
+        "--mu", "1e-8", "--t1", "240000", "--t2", "40000",
+        "--t_upper", "745069.3855", "--N_AB", "50000", "--N_ABC", "50000",
+        "--r", "1e-8", "--n_int_AB", "1", "--n_int_ABC", "2",
+        "--species_list", *SPECIES,
+    ])
+    a = open(tmp_path / "cfg" / "run.viterbi.csv").read()
+    b = open(tmp_path / "flags" / "run.viterbi.csv").read()
+    assert a == b and len(a.splitlines()) > 1
+    ha = open(tmp_path / "cfg" / "run.hidden_states.csv").read()
+    hb = open(tmp_path / "flags" / "run.hidden_states.csv").read()
+    assert ha == hb
+
+
+def test_viterbi_cli_flag_overrides_config(tmp_path):
+    """A CLI parameter flag wins over the config value (reference
+    workflow_viterbi.py:103-140: removed from optimized, pinned fixed)."""
+    from itrails_tpu.cli.viterbi import main as viterbi_main
+
+    cfg = _decode_config()
+    cfg["fixed_parameters"]["N_AB"] = 99999999  # absurd; flag must override
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out_a = tmp_path / "a" / "run"
+    viterbi_main(["--config-file", str(cfg_path), "--output", str(out_a),
+                  "--N_AB", "50000"])
+
+    cfg_ref = tmp_path / "ref.yaml"
+    with open(cfg_ref, "w") as f:
+        yaml.dump(_decode_config(), f)
+    out_b = tmp_path / "b" / "run"
+    viterbi_main([str(cfg_ref), "--output", str(out_b)])
+    assert (open(tmp_path / "a" / "run.viterbi.csv").read()
+            == open(tmp_path / "b" / "run.viterbi.csv").read())
+
+
+def test_decode_cli_no_args_exits():
+    import pytest
+
+    from itrails_tpu.cli.viterbi import main as viterbi_main
+
+    with pytest.raises(SystemExit):
+        viterbi_main([])
+
+
 def test_viterbi_with_reference_coordinates(tmp_path):
     from itrails_tpu.cli.viterbi import main as viterbi_main
 

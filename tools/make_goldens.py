@@ -393,6 +393,174 @@ def golden_maf3():
     print(f"maf3.npz written ({len(blocks)} token blocks)")
 
 
+def _seed_best_model(path, mu):
+    import yaml as _yaml
+
+    with open(path, "w") as f:
+        _yaml.safe_dump(
+            {
+                "fixed_parameters": {"mu": mu},
+                "optimized_parameters": {},
+                "results": {"log_likelihood": None, "iteration": None},
+                "settings": {},
+            },
+            f,
+        )
+
+
+def _patch_best_model_float():
+    """Under the numba shim the reference's loglik is a numpy scalar, which
+    update_best_model yaml.dump's with a python/object tag that its own
+    next safe_load rejects (real numba returns a Python float).  Cast to
+    float on the way in — artifact-only, the trajectory is untouched."""
+    import itrails.int_optimizer as ref_int_opt
+    import itrails.optimizer as ref_opt
+    import itrails.yaml_helpers as yh
+
+    orig = yh.update_best_model
+
+    def patched(path, variables, params, result, iteration):
+        return orig(path, variables, [float(v) for v in params],
+                    float(result), int(iteration))
+
+    ref_opt.update_best_model = patched
+    ref_int_opt.update_best_model = patched
+
+
+def golden_trajectory(maxiter=40):
+    """Optimization-trajectory golden (BASELINE 'optimized parameters match'
+    gate): run the reference optimizer objective (optimization_wrapper,
+    reference optimizer.py:396-583) under the same scipy Nelder-Mead call
+    as reference optimizer.py:620-637 — with a bounded maxiter — on the
+    synthetic MAF at 1x2, and record every history row."""
+    import tempfile
+
+    from scipy.optimize import minimize
+
+    from itrails.optimizer import optimization_wrapper
+    from itrails.read_data import maf_parser
+
+    maf_path = os.path.join(GOLDENS, "synthetic.maf")
+    if not os.path.exists(maf_path):
+        _write_synthetic_maf(maf_path)
+    V_lst = maf_parser(maf_path, MAF_SPECIES)
+
+    mu = 1e-8
+    # mirrors tests/test_workflows.py::_optimize_config after mu-scaling,
+    # in the variable order prepare_optimize_setup produces
+    optim_variables = ["t_1", "t_2", "N_ABC", "N_AB", "r", "t_upper"]
+    optim_list = [0.0024, 0.0004, 0.0005, 0.0005, 1.0, 745069.3855e-8]
+    bounds = [
+        (0.00024, 0.024),
+        (4e-05, 0.004),
+        (5e-05, 0.005),
+        (5e-05, 0.005),
+        (0.1, 10.0),
+        (74506.9385e-8, 7450693.8556e-8),
+    ]
+    fixed = {"n_int_AB": 1, "n_int_ABC": 2}
+    case = frozenset(["t_1"])
+
+    _patch_best_model_float()
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as tmp:
+        res_name = os.path.join(tmp, "traj")
+        _seed_best_model(os.path.join(tmp, "traj.best_model.yaml"), mu)
+        res = minimize(
+            optimization_wrapper,
+            x0=np.asarray(optim_list, dtype=np.float64),
+            args=(optim_variables, case, dict(fixed), V_lst, res_name,
+                  {"Nfeval": 0, "time": time.time()}),
+            method="Nelder-Mead",
+            bounds=bounds,
+            options={"maxiter": maxiter, "disp": True},
+        )
+        rows = np.loadtxt(
+            os.path.join(tmp, "traj.optimization_history.csv"), delimiter=","
+        )
+    np.savez(
+        os.path.join(GOLDENS, "traj_1x2.npz"),
+        variables=np.array(optim_variables),
+        x0=np.asarray(optim_list),
+        bounds=np.asarray(bounds),
+        maxiter=maxiter,
+        history_params=rows[:, 1:-2],
+        history_loglik=rows[:, -2],
+        final_x=np.asarray(res.x),
+        final_fun=float(res.fun),
+        n_eval=rows.shape[0],
+    )
+    print(f"traj_1x2.npz written ({rows.shape[0]} evals, "
+          f"{time.time()-t0:.1f}s)")
+
+
+def golden_int_trajectory(maxiter=10):
+    """Same trajectory golden for the introgression family (reference
+    int_optimizer.py:397-588 objective under the scipy call of :625-651)."""
+    import tempfile
+
+    from scipy.optimize import minimize
+
+    from itrails.int_optimizer import optimization_wrapper_introgression
+    from itrails.read_data import maf_parser
+
+    maf_path = os.path.join(GOLDENS, "synthetic.maf")
+    V_lst = maf_parser(maf_path, MAF_SPECIES)
+
+    mu = 1e-8
+    # mirrors tests/test_int_workflows.py::_int_config(optimize=True):
+    # optimize (t_1, m), everything else fixed; 'm' enters UNscaled (the
+    # reference workflow's m*mu scaling is a documented bug we don't copy,
+    # and the engine itself takes m as given)
+    optim_variables = ["t_1", "m"]
+    optim_list = [0.0024, 0.1]
+    bounds = [(0.00024, 0.024), (0.001, 0.99)]
+    fixed = {
+        "n_int_AB": 1, "n_int_ABC": 2,
+        "t_2": 0.0004, "t_m": 0.0008, "t_upper": 745069.3855e-8,
+        "N_AB": 0.0005, "N_BC": 0.0004, "N_ABC": 0.0005, "r": 1.0,
+    }
+    case = frozenset(["t_1"])
+
+    _patch_best_model_float()
+    t0 = time.time()
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)  # first eval writes hidden/observed_states.csv to CWD
+        try:
+            res_name = os.path.join(tmp, "traj")
+            _seed_best_model(os.path.join(tmp, "traj_best_model.yaml"), mu)
+            res = minimize(
+                optimization_wrapper_introgression,
+                x0=np.asarray(optim_list, dtype=np.float64),
+                args=(optim_variables, case, dict(fixed), V_lst, res_name,
+                      {"Nfeval": 0, "time": time.time(), "tmp_path": tmp}),
+                method="Nelder-Mead",
+                bounds=bounds,
+                options={"maxiter": maxiter, "disp": True},
+            )
+            rows = np.loadtxt(
+                os.path.join(tmp, "traj_optimization_history.csv"),
+                delimiter=",",
+            )
+        finally:
+            os.chdir(cwd)
+    np.savez(
+        os.path.join(GOLDENS, "int_traj_1x2.npz"),
+        variables=np.array(optim_variables),
+        x0=np.asarray(optim_list),
+        bounds=np.asarray(bounds),
+        maxiter=maxiter,
+        history_params=rows[:, 1:-2],
+        history_loglik=rows[:, -2],
+        final_x=np.asarray(res.x),
+        final_fun=float(res.fun),
+        n_eval=rows.shape[0],
+    )
+    print(f"int_traj_1x2.npz written ({rows.shape[0]} evals, "
+          f"{time.time()-t0:.1f}s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small fixtures only")
@@ -437,6 +605,9 @@ def main():
         # BASELINE config 3 ladder: mid-size parity point
         a, b, pi = golden_model(PARAMS, 4, 4, "4x4")
         golden_hmm(a, b, pi, "4x4")
+    if want("trajectory"):
+        golden_trajectory()
+        golden_int_trajectory()
     if want("model7x7"):
         # the 133-state flagship (BASELINE config 3); slow in the pure-
         # Python reference — run overnight-style
