@@ -201,14 +201,15 @@ def main():
             ),
             dev,
         )
-        w3, t3 = (512, 4096) if platform != "cpu" else (8, 512)
-        bufs3 = [
-            jax.device_put(
-                jnp.asarray(rng.integers(0, 625, size=(w3, t3)), jnp.int32),
-                dev,
-            )
-            for _ in range(3)
-        ]
+        # batch sizes: big enough that per-dispatch overhead (~10-20 ms on
+        # the tunneled backend) stays <10% of the measured kernel time;
+        # posterior materialises (T, Mp, W) f32 gammas so its batch is
+        # HBM-capped
+        shapes = {
+            "m133_fwd": (2048, 8192) if platform != "cpu" else (8, 512),
+            "m133_viterbi": (1024, 8192) if platform != "cpu" else (8, 512),
+            "m133_posterior": (512, 4096) if platform != "cpu" else (8, 512),
+        }
         for name, fn in (
             ("m133_fwd", lambda a_, b_, p_, t_: decoders.forward_loglik_fast(
                 a_, b_, p_, t_)),
@@ -218,6 +219,16 @@ def main():
                 a_, b_, p_, t_)[-1].sum()),
         ):
             try:
+                w3, t3 = shapes[name]
+                bufs3 = [
+                    jax.device_put(
+                        jnp.asarray(
+                            rng.integers(0, 625, size=(w3, t3)), jnp.int32
+                        ),
+                        dev,
+                    )
+                    for _ in range(3)
+                ]
                 g = jax.jit(fn)
                 float(g(a3, bfull3, pi3, bufs3[0]))
                 ts = []
@@ -232,6 +243,45 @@ def main():
                 extras[f"{name}_mcols_per_s"] = (
                     f"error: {type(e).__name__}: {e}"[:160]
                 )
+
+        # full per-eval wall clock at the 7x7 flagship on a 1 Mb batch
+        # (model rebuild on host + forward decode): BASELINE config 2/3 mix
+        try:
+            mb133 = jax.device_put(
+                jnp.asarray(rng.integers(0, 625, size=(256, 4096)), jnp.int32),
+                dev,
+            )
+            fwd133 = jax.jit(decoders.forward_loglik_fast)
+
+            def one_eval_133(da):
+                m2 = build_model(
+                    t_A=0.0024 + da, t_B=0.0024, t_C=0.0028, t_2=0.0004,
+                    t_upper=0.00745069, t_out=0.009312, N_AB=0.0005,
+                    N_ABC=0.0005, r=1.0, n_int_AB=7, n_int_ABC=7,
+                    dtype="float64", device=bdev133,
+                )
+                a_ = jax.device_put(jnp.asarray(m2.a, cast), dev)
+                p_ = jax.device_put(jnp.asarray(m2.pi, cast), dev)
+                b_ = jax.device_put(
+                    decoders.emission_table(
+                        jnp.asarray(m2.b, cast),
+                        jnp.asarray(aggregation_matrix(), cast),
+                    ),
+                    dev,
+                )
+                return float(fwd133(a_, b_, p_, mb133))
+
+            one_eval_133(1.7e-6)  # warm/compile
+            ts = []
+            for k in range(3):
+                t0 = time.time()
+                one_eval_133(1e-7 * (k + 1))
+                ts.append(time.time() - t0)
+            extras["m133_optimizer_eval_s"] = round(float(np.median(ts)), 3)
+        except Exception as e:
+            extras["m133_optimizer_eval_s"] = (
+                f"error: {type(e).__name__}: {e}"[:160]
+            )
     except Exception as e:  # flagship metrics must not kill the bench line
         extras["m133_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -33,8 +33,17 @@ from itrails_tpu.utils.cache import enable_compilation_cache  # noqa: F401
 # importing the CLI layer; re-exported here for compatibility)
 
 
-def standard_parser(description, usage=None):
+def _startup():
+    """Per-CLI startup: persistent compile cache + multi-host init (a
+    no-op unless the standard JAX cluster environment is present)."""
     enable_compilation_cache()
+    from itrails_tpu.utils.resources import init_distributed
+
+    init_distributed()
+
+
+def standard_parser(description, usage=None):
+    _startup()
     p = argparse.ArgumentParser(description=description, usage=usage)
     p.add_argument("config_file", type=str, help="Path to the YAML config file.")
     p.add_argument("--input", type=str, required=False,
@@ -49,7 +58,7 @@ def decode_parser(description, usage=None, introgression=False):
     config-optional invocation, flag-for-flag with the reference
     (workflow_viterbi.py:19-88; int variants add --t_m/--N_BC/--m,
     workflow_int_viterbi.py:52-90)."""
-    enable_compilation_cache()
+    _startup()
     p = argparse.ArgumentParser(description=description, usage=usage)
     p.add_argument("config_file", type=str, nargs="?", default=None,
                    help="Path to the YAML config file (equivalently "

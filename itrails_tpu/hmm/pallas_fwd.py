@@ -102,16 +102,21 @@ def _make_emission(multihot: bool, btcat, bw: int, mp: int):
     in the XLA table-build matmul, so values agree to f32 roundoff
     (~1e-7 relative) rather than bitwise."""
     if multihot:
-        cio = jax.lax.broadcasted_iota(jnp.int32, (_KB, bw), 0)
-        cd = (cio >> 6, (cio >> 4) & 3, (cio >> 2) & 3, cio & 3)
+        # half-split construction: column index c = cH*16 + cL with cH/cL
+        # the base-4 codes of the first/last two positions, so the (256, BW)
+        # multi-hot is an outer product of two (16, BW) half-matches —
+        # ~500 VPU ops/column instead of ~3000 for the direct 4-digit form
+        hio = jax.lax.broadcasted_iota(jnp.int32, (16, bw), 0)
+        ha, hb = hio >> 2, hio & 3
 
         def em(tok):
-            q = ((((tok & 7) == cd[0]) | ((tok & 7) == 4))
-                 & ((((tok >> 3) & 7) == cd[1]) | (((tok >> 3) & 7) == 4))
-                 & ((((tok >> 6) & 7) == cd[2]) | (((tok >> 6) & 7) == 4))
-                 & ((((tok >> 9) & 7) == cd[3]) | (((tok >> 9) & 7) == 4)))
-            e2 = jnp.dot(btcat, q.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
+            d0, d1 = tok & 7, (tok >> 3) & 7
+            d2, d3 = (tok >> 6) & 7, (tok >> 9) & 7
+            qh = ((d0 == ha) | (d0 == 4)) & ((d1 == hb) | (d1 == 4))
+            ql = ((d2 == ha) | (d2 == 4)) & ((d3 == hb) | (d3 == 4))
+            q = (jnp.repeat(qh.astype(jnp.bfloat16), 16, axis=0)
+                 * jnp.tile(ql.astype(jnp.bfloat16), (16, 1)))
+            e2 = jnp.dot(btcat, q, preferred_element_type=jnp.float32)
             return e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
     else:
         kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)

@@ -11,6 +11,9 @@ import numpy as np
 
 from itrails_tpu.data.tokens import aggregation_matrix
 from itrails_tpu.hmm import decoders, pallas_fwd
+from itrails_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def model(m, seed=0):

@@ -1,0 +1,114 @@
+"""Quantify the exact-gradient optimizer path (VERDICT round-2 item 6).
+
+Simulates a ~1 Mb alignment from known parameters (BASELINE config 2
+shape), then runs the outer optimizer from the same perturbed start with
+
+  1. Nelder-Mead, value-only objective (the reference's measured default;
+     its only L-BFGS-B mode is finite-difference, optimizer.py:620-637);
+  2. L-BFGS-B with the exact-gradient objective (`use_grad=True` —
+     checkpointed decode VJP + CPU-f64 build VJP, hmm/grad.py).
+
+Records evals-to-convergence, wall-clock, and best loglik to
+GRADEVAL.json at the repo root.  Run on the TPU:
+
+  PYTHONPATH=/root/.axon_site:/root/repo python tools/grad_vs_nm.py
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+TRUE = dict(t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004,
+            t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
+            r=1.0)
+
+# optimize (t_1, t_2, N_AB, N_ABC, r, t_upper) from a perturbed start —
+# the default case {t_1} with the config-2 free-parameter set
+VARS = ["t_1", "t_2", "N_ABC", "N_AB", "r", "t_upper"]
+X0 = [0.0030, 0.00032, 0.00040, 0.00062, 1.6, 0.0060]
+BOUNDS = [(0.00024, 0.024), (4e-5, 0.004), (5e-5, 0.005), (5e-5, 0.005),
+          (0.1, 10.0), (74506.9385e-8, 7450693.8556e-8)]
+
+
+def run(method, use_grad, v_lst, workdir, maxiter):
+    from itrails_tpu.optim.optimizer import optimizer
+
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+    res = optimizer(
+        VARS, list(X0), list(BOUNDS),
+        {"n_int_AB": 3, "n_int_ABC": 3},
+        v_lst, os.path.join(workdir, "run"), frozenset(["t_1"]),
+        method=method, maxiter=maxiter, dtype="float64",
+        use_grad=use_grad,
+    )
+    dt = time.time() - t0
+    hist = np.loadtxt(os.path.join(workdir, "run.optimization_history.csv"),
+                      delimiter=",", skiprows=1, ndmin=2)
+    lls = hist[:, -2]
+    best = float(np.max(lls))
+    # evals to reach within 1 loglik unit of this run's best
+    reach = int(np.argmax(lls >= best - 1.0)) + 1
+    return {
+        "method": method + ("+grad" if use_grad else ""),
+        "n_evals": int(hist.shape[0]),
+        "wall_s": round(dt, 2),
+        "s_per_eval": round(dt / hist.shape[0], 4),
+        "best_loglik": best,
+        "evals_to_best_minus_1": reach,
+        "final_x": [float(v) for v in np.asarray(res.x)],
+    }
+
+
+def main():
+    import tempfile
+
+    from itrails_tpu.core.model import build_model
+    from itrails_tpu.data.maf import maf_tokens
+    from itrails_tpu.data.simulate import simulate_maf
+    from itrails_tpu.utils.cache import build_device, enable_compilation_cache
+
+    enable_compilation_cache()
+    model = build_model(**TRUE, n_int_AB=3, n_int_ABC=3, dtype="float64",
+                        device=build_device(3, 3))
+    species = ["hg38", "panTro5", "gorGor5", "ponAbe2"]
+    with tempfile.TemporaryDirectory() as tmp:
+        maf = os.path.join(tmp, "sim.maf")
+        simulate_maf(maf, model, species, n_blocks=256, block_len=4096,
+                     seed=3)
+        v_lst = maf_tokens(maf, species)
+        rows = [
+            run("Nelder-Mead", False, v_lst, os.path.join(tmp, "nm"),
+                maxiter=600),
+            run("L-BFGS-B", True, v_lst, os.path.join(tmp, "lb"),
+                maxiter=200),
+        ]
+    out = {
+        "config": "BASELINE config 2 shape: 256 x 4096 = 1.05 Mcol simulated "
+                  "alignment, 3x3 model, 6 free parameters, common start",
+        "reference_contrast": "the reference optimizer is Nelder-Mead or "
+                              "finite-difference L-BFGS-B only "
+                              "(optimizer.py:620-637); the exact-gradient "
+                              "path has no reference counterpart",
+        "platform": jax.default_backend(),
+        "rows": rows,
+    }
+    path = os.path.join(REPO, "GRADEVAL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["rows"], indent=1))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -606,8 +606,8 @@ def main():
         a, b, pi = golden_model(PARAMS, 4, 4, "4x4")
         golden_hmm(a, b, pi, "4x4")
     if want("trajectory"):
-        golden_trajectory()
-        golden_int_trajectory()
+        golden_trajectory(maxiter=25)
+        golden_int_trajectory(maxiter=8)
     if want("model7x7"):
         # the 133-state flagship (BASELINE config 3); slow in the pure-
         # Python reference — run overnight-style

@@ -23,6 +23,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def pin_cores(n_dev: int) -> int:
+    """Pin this process to ``n_dev`` cores (one per virtual device) so
+    per-device compute is CONSTANT across mesh sizes — without this, N
+    virtual devices share every core and per-device throughput decays
+    ~1/N by construction, which says nothing about the collective path.
+    Returns the number of cores actually pinned (0 if unsupported)."""
+    try:
+        cores = sorted(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        return 0
+    if n_dev > len(cores):
+        return -1  # cannot isolate: more devices than cores
+    os.sched_setaffinity(0, set(cores[:n_dev]))
+    return n_dev
+
+
 def measure(n_dev: int, w_per_dev: int, t_len: int, m: int):
     import jax
 
@@ -80,22 +96,44 @@ def main():
     p.add_argument("--w-per-dev", type=int, default=64)
     p.add_argument("--t-len", type=int, default=4096)
     p.add_argument("--m", type=int, default=27)
-    p.add_argument("--sizes", type=str, default="1,2,4,8")
+    p.add_argument("--sizes", type=str, default=None,
+                   help="mesh sizes; cpu default: powers of 2 up to the "
+                        "core count (isolable), tpu default: 1,2,4,8")
+    p.add_argument("--pin", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="pin each cpu worker to n_dev disjoint cores "
+                        "(one core per virtual device)")
     p.add_argument("--out", type=str,
                    default=os.path.join(REPO, "WEAKSCALING.json"))
     args = p.parse_args()
 
     if args.worker is not None:
+        pinned = 0
         if args.backend == "cpu":
             os.environ["JAX_PLATFORMS"] = "cpu"
+            if args.pin:
+                pinned = pin_cores(args.worker)
+                if pinned < 0:
+                    print("RESULT " + json.dumps(
+                        {"n_devices": args.worker, "skipped":
+                         "more devices than physical cores; cannot isolate"}
+                    ))
+                    return
             import jax
 
             jax.config.update("jax_platforms", "cpu")
         res = measure(args.worker, args.w_per_dev, args.t_len, args.m)
+        res["cores_pinned"] = pinned
         print("RESULT " + json.dumps(res))
         return
 
-    sizes = [int(s) for s in args.sizes.split(",")]
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
+    elif args.backend == "cpu" and args.pin:
+        n_cores = len(os.sched_getaffinity(0))
+        sizes = [n for n in (1, 2, 4, 8) if n <= n_cores]
+    else:
+        sizes = [1, 2, 4, 8]
     rows = []
     for n in sizes:
         env = dict(os.environ)
@@ -111,6 +149,8 @@ def main():
                "--worker", str(n), "--backend", args.backend,
                "--w-per-dev", str(args.w_per_dev),
                "--t-len", str(args.t_len), "--m", str(args.m)]
+        if not args.pin:
+            cmd.append("--no-pin")
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                              timeout=900)
         line = [ln for ln in out.stdout.splitlines()
@@ -124,22 +164,32 @@ def main():
         print(f"n={n}: {rows[-1]['cols_per_s_per_device']/1e6:.2f} "
               f"Mcol/s/device")
 
-    base = rows[0]["cols_per_s_per_device"]
-    for r in rows:
+    scored = [r for r in rows if "cols_per_s_per_device" in r]
+    base = scored[0]["cols_per_s_per_device"]
+    for r in scored:
         r["weak_scaling_efficiency"] = r["cols_per_s_per_device"] / base
     report = {
         "metric": "weak scaling of sharded forward loglik "
                   "(fixed per-device work)",
+        "expectation": (
+            "the decode is one jitted pmap-style shard per device with a "
+            "SINGLE psum of a per-shard scalar at the end (hmm/sharding.py)"
+            " — communication per eval is O(1) scalars, so weak scaling "
+            "should be near-flat on real hardware"
+        ),
         "caveat": (
-            "backend=cpu forces N virtual devices onto ONE shared-core "
-            "host, so per-device throughput necessarily decays ~1/N once "
-            "cores saturate; the numbers validate the harness + collective "
-            "path, not hardware scaling.  Run with --backend tpu on a real "
-            "slice for physical weak-scaling efficiency (the collective "
-            "pattern — one psum of a per-shard scalar — is identical)."
+            "backend=cpu: each worker is affinity-pinned to n_dev disjoint "
+            "cores (one core per virtual device) so per-device compute is "
+            "constant across mesh sizes; sizes beyond the physical core "
+            "count are skipped as not isolable.  Run --backend tpu on a "
+            "real slice for hardware numbers (see README runbook)."
+            if args.backend == "cpu" and args.pin else
+            "backend=cpu without pinning: N virtual devices share every "
+            "core, so per-device throughput decays ~1/N by construction."
             if args.backend == "cpu" else ""
         ),
         "backend": args.backend,
+        "pinned": bool(args.pin) if args.backend == "cpu" else None,
         "m_states": args.m,
         "w_per_dev": args.w_per_dev,
         "t_len": args.t_len,
