@@ -84,7 +84,14 @@ def split_bf16(table, parts: int = 3):
     return jnp.concatenate(chunks, axis=0)
 
 
-def _make_emission(multihot: bool, btcat, bw: int, mp: int):
+def _sum_parts(e2, mp: int, parts: int):
+    out = e2[:mp]
+    for k in range(1, parts):
+        out = out + e2[k * mp:(k + 1) * mp]
+    return out
+
+
+def _make_emission(multihot: bool, btcat, bw: int, mp: int, parts: int = 3):
     """Per-step emission-row closure, (1, BW) tokens -> (Mp, BW) f32.
 
     onehot: token-id == iota one-hot over the KP=640 alphabet, times the
@@ -117,21 +124,21 @@ def _make_emission(multihot: bool, btcat, bw: int, mp: int):
             q = (jnp.repeat(qh.astype(jnp.bfloat16), 16, axis=0)
                  * jnp.tile(ql.astype(jnp.bfloat16), (16, 1)))
             e2 = jnp.dot(btcat, q, preferred_element_type=jnp.float32)
-            return e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
+            return _sum_parts(e2, mp, parts)
     else:
         kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
 
         def em(tok):
             oh = (tok == kio).astype(jnp.bfloat16)  # (KP, BW)
             e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
-            return e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
+            return _sum_parts(e2, mp, parts)
 
     return em
 
 
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
             ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
-            multihot: bool = False, al_all_ref=None):
+            multihot: bool = False, parts: int = 3, al_all_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -143,7 +150,7 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
     at = at_ref[:]  # (Mp, Mp) f32, transition transposed
 
     bw = tok_ref.shape[1]
-    em = _make_emission(multihot, btcat, bw, mp)
+    em = _make_emission(multihot, btcat, bw, mp, parts)
 
     def step(t, carry):
         al, acc = carry
@@ -174,7 +181,8 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         alf_ref[:] = al_s[:]
 
 
-def _model_tensors(a, bfull, mp: int, m: int, multihot: bool):
+def _model_tensors(a, bfull, mp: int, m: int, multihot: bool,
+                   parts: int = 3):
     """Padded transposed transition + split emission table for the fused
     kernels (multihot: the (Mp, 256) BASE table; onehot: the full (Mp, KP)
     aggregated table)."""
@@ -186,7 +194,7 @@ def _model_tensors(a, bfull, mp: int, m: int, multihot: bool):
         )
     else:
         bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
-    return at, split_bf16(bt)
+    return at, split_bf16(bt, parts)
 
 
 def _token_stream(tokens, multihot: bool):
@@ -201,11 +209,13 @@ def _token_stream(tokens, multihot: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_w", "chunk_t", "interpret", "emission")
+    jax.jit,
+    static_argnames=("block_w", "chunk_t", "interpret", "emission",
+                     "table_parts"),
 )
 def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
                   chunk_t: int = 128, interpret: bool = False,
-                  emission: str = "multihot"):
+                  emission: str = "onehot", table_parts: int = 3):
     """Scaled-linear forward pass.
 
     Args:
@@ -213,8 +223,9 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
       bfull: (M, 625) emission table over the full alphabet.
       pi: (M,) initial distribution.
       tokens: (W, T) int32, right-padded with PAD_TOKEN.
-      emission: "multihot" (default; 2.5x fewer emission MXU FLOPs, rows
-        f32-roundoff-exact) or "onehot" (bit-exact table rows).
+      emission: "onehot" (default; bit-exact table rows) or "multihot"
+        (2.5x fewer emission MXU FLOPs, rows f32-roundoff-exact; default
+        pending hardware measurement — see tools/exp_m133_fwd.py).
 
     Returns:
       (alpha, loglik): alpha (W, M) — the *normalised* linear-space final
@@ -229,7 +240,7 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     multihot = emission == "multihot"
     kb = _KB if multihot else _KP
 
-    at, btcat = _model_tensors(a, bfull, mp, m, multihot)
+    at, btcat = _model_tensors(a, bfull, mp, m, multihot, table_parts)
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
@@ -258,14 +269,16 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     zi = lambda i, j: (i * 0, i)  # noqa: E731
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
     ll, alf = pl.pallas_call(
-        functools.partial(_kernel, mp=mp, chunk_t=tc, multihot=multihot),
+        functools.partial(_kernel, mp=mp, chunk_t=tc, multihot=multihot,
+                          parts=table_parts),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * mp, kb), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((table_parts * mp, kb), zz,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -345,7 +358,7 @@ def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
 @functools.partial(
     jax.jit, static_argnames=("block_w", "chunk_t", "interpret")
 )
-def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 512,
+def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
                     chunk_t: int = 128, interpret: bool = False):
     """Posterior state probabilities, (T, W, M) — same contract as
     decoders.posterior (padded steps are garbage; mask with
@@ -363,10 +376,12 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 512,
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
-    # the backward kernel holds two (tc, Mp, BW) f32 blocks (alpha in,
-    # gamma out), each double-buffered: cap each at ~1.75 MB
+    # the backward kernel holds two (tc, Mp, BW) f32 block streams (alpha
+    # in, gamma out), each double-buffered: 4 live buffers + tables must
+    # fit VMEM, so cap each block at ~3.2 MB (the previous 1.75 MB cap
+    # left half of VMEM idle and starved the MXU at small tc)
     tc = min(chunk_t,
-             max(8, (int(1.75 * 2**20) // (mp * bw * 4)) // 8 * 8))
+             max(8, (int(3.2 * 2**20) // (mp * bw * 4)) // 8 * 8))
 
     tok0 = tokens[:, 0]
     e0 = bt[:m, :_K].T[jnp.maximum(tok0, 0)]

@@ -121,3 +121,22 @@ def test_split_bf16_is_bit_exact_under_jit():
     # residual parts must actually carry bits (elision would zero them)
     assert (np.abs(cat[1]) > 0).any()
     assert (np.abs(cat[2]) > 0).any()
+
+
+@pytest.mark.parametrize("m", [27, 133])
+@pytest.mark.parametrize("parts", [2, 3])
+def test_fused_forward_multihot_matches_scan(m, parts):
+    """The multihot emission path (bit-code half-split construction) must
+    match the scan decoder; with parts=3 the unambiguous-token rows are
+    bit-exact, ambiguous rows agree to f32 roundoff."""
+    a, bfull, pi = _random_model(m, seed=11)
+    rng = np.random.default_rng(12)
+    tokens = np.asarray(rng.integers(0, 625, size=(3, 50)), np.int32)
+    tokens[1, 30:] = PAD_TOKEN
+    tokens = jnp.asarray(tokens)
+    _, ll_ref = decoders.forward(a, bfull, pi, tokens)
+    _, ll = pallas_fwd.forward_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=8, interpret=True,
+        emission="multihot", table_parts=parts,
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), atol=2e-4)

@@ -185,3 +185,29 @@ def test_viterbi_with_reference_coordinates(tmp_path):
     # coordinates projected to hg38 positions (block 1 starts at 1000)
     starts = [int(float(r[1])) for r in vit[1:] if r[0] == "0"]
     assert min(starts) >= 1000
+
+
+def test_merge_decode_overrides_validation():
+    """Unit coverage of the CLI-merge edge cases (reference
+    workflow_viterbi.py:95-158, 208-228)."""
+    import pytest
+
+    from itrails_tpu.cli.common import decode_parser, merge_decode_overrides
+
+    parser = decode_parser("t")
+    # mu required when no config provides it
+    args = parser.parse_args(["--t1", "1"])
+    with pytest.raises(ValueError, match="mu must be specified"):
+        merge_decode_overrides(args)
+    # n_int derivation from manual cutpoints alone
+    args = parser.parse_args([
+        "--mu", "1e-8", "--cutpoints_AB", "0", "1", "2",
+        "--cutpoints_ABC", "3", "4",
+    ])
+    cfg = merge_decode_overrides(args)
+    assert cfg["settings"]["n_int_AB"] == 2
+    assert cfg["settings"]["n_int_ABC"] == 2
+    # n_int_AB missing entirely -> reference error message
+    args = parser.parse_args(["--mu", "1e-8", "--n_int_ABC", "2"])
+    with pytest.raises(ValueError, match="n_int_AB must be specified"):
+        merge_decode_overrides(args)

@@ -50,16 +50,19 @@ def main():
         ]
         cols = w * t
         ll_ref = None
-        for emission in ("onehot", "multihot"):
+        for emission, parts in (("onehot", 3), ("multihot", 3),
+                                ("onehot", 2), ("multihot", 2)):
             fn = jax.jit(functools.partial(
-                pallas_fwd.forward_loglik_fused, emission=emission
+                pallas_fwd.forward_loglik_fused, emission=emission,
+                table_parts=parts,
             ))
             dt, ll = bench(fn, (a, bfull, pi), tok_bufs)
             ll = float(np.asarray(ll))
             if ll_ref is None:
                 ll_ref = ll
-            print(f"M={m:3d} {emission:9s}: {cols/dt/1e6:8.1f} Mcol/s  "
-                  f"ll(buf0)={ll:.3f}  rel_dev={(ll-ll_ref)/abs(ll_ref):.2e}")
+            print(f"M={m:3d} {emission:9s} p{parts}: {cols/dt/1e6:8.1f} "
+                  f"Mcol/s  ll(buf0)={ll:.3f}  "
+                  f"rel_dev={(ll-ll_ref)/abs(ll_ref):.2e}")
 
 
 if __name__ == "__main__":
