@@ -138,7 +138,8 @@ def _make_emission(multihot: bool, btcat, bw: int, mp: int, parts: int = 3):
 
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
             ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
-            multihot: bool = False, parts: int = 3, al_all_ref=None):
+            multihot: bool = False, parts: int = 3,
+            trans_precision=jax.lax.Precision.HIGHEST, al_all_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -157,7 +158,7 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
         e = em(tok)  # (Mp, BW) f32 emission rows
         nx = jnp.dot(at, al, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST) * e
+                     precision=trans_precision) * e
         s = jnp.sum(nx, axis=0, keepdims=True)  # (1, BW)
         pad = tok == PAD_TOKEN
         snz = jnp.where(pad, 1.0, s)
@@ -211,11 +212,12 @@ def _token_stream(tokens, multihot: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("block_w", "chunk_t", "interpret", "emission",
-                     "table_parts"),
+                     "table_parts", "trans_highest"),
 )
 def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
                   chunk_t: int = 128, interpret: bool = False,
-                  emission: str = "onehot", table_parts: int = 3):
+                  emission: str = "onehot", table_parts: int = 3,
+                  trans_highest: bool = True):
     """Scaled-linear forward pass.
 
     Args:
@@ -269,8 +271,12 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     zi = lambda i, j: (i * 0, i)  # noqa: E731
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
     ll, alf = pl.pallas_call(
-        functools.partial(_kernel, mp=mp, chunk_t=tc, multihot=multihot,
-                          parts=table_parts),
+        functools.partial(
+            _kernel, mp=mp, chunk_t=tc, multihot=multihot,
+            parts=table_parts,
+            trans_precision=(jax.lax.Precision.HIGHEST if trans_highest
+                             else jax.lax.Precision.HIGH),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),

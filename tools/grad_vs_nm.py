@@ -40,26 +40,41 @@ BOUNDS = [(0.00024, 0.024), (4e-5, 0.004), (5e-5, 0.005), (5e-5, 0.005),
           (0.1, 10.0), (74506.9385e-8, 7450693.8556e-8)]
 
 
-def run(method, use_grad, v_lst, workdir, maxiter):
+INT_FIXED = dict(t_2=0.0004, t_m=0.0008, t_upper=745069.3855e-8,
+                 N_AB=0.0005, N_BC=0.0004, N_ABC=0.0005, r=1.0)
+INT_VARS = ["t_1", "m"]
+INT_X0 = [0.0030, 0.25]
+INT_BOUNDS = [(0.00024, 0.024), (0.001, 0.99)]
+
+
+def run(method, use_grad, v_lst, workdir, maxiter, introgression=False):
     from itrails_tpu.optim.optimizer import optimizer
 
     os.makedirs(workdir, exist_ok=True)
+    if introgression:
+        variables, x0, bounds = INT_VARS, INT_X0, INT_BOUNDS
+        fixed = {"n_int_AB": 3, "n_int_ABC": 3, **INT_FIXED}
+    else:
+        variables, x0, bounds = VARS, X0, BOUNDS
+        fixed = {"n_int_AB": 3, "n_int_ABC": 3}
     t0 = time.time()
     res = optimizer(
-        VARS, list(X0), list(BOUNDS),
-        {"n_int_AB": 3, "n_int_ABC": 3},
+        variables, list(x0), list(bounds), fixed,
         v_lst, os.path.join(workdir, "run"), frozenset(["t_1"]),
         method=method, maxiter=maxiter, dtype="float64",
-        use_grad=use_grad,
+        use_grad=use_grad, introgression=introgression,
     )
     dt = time.time() - t0
-    hist = np.loadtxt(os.path.join(workdir, "run.optimization_history.csv"),
-                      delimiter=",", skiprows=1, ndmin=2)
+    sep = "_" if introgression else "."
+    hist = np.loadtxt(
+        os.path.join(workdir, f"run{sep}optimization_history.csv"),
+        delimiter=",", skiprows=1, ndmin=2)
     lls = hist[:, -2]
     best = float(np.max(lls))
     # evals to reach within 1 loglik unit of this run's best
     reach = int(np.argmax(lls >= best - 1.0)) + 1
     return {
+        "family": "introgression" if introgression else "plain",
         "method": method + ("+grad" if use_grad else ""),
         "n_evals": int(hist.shape[0]),
         "wall_s": round(dt, 2),
@@ -92,6 +107,10 @@ def main():
                 maxiter=600),
             run("L-BFGS-B", True, v_lst, os.path.join(tmp, "lb"),
                 maxiter=200),
+            run("Nelder-Mead", False, v_lst, os.path.join(tmp, "inm"),
+                maxiter=200, introgression=True),
+            run("L-BFGS-B", True, v_lst, os.path.join(tmp, "ilb"),
+                maxiter=80, introgression=True),
         ]
     out = {
         "config": "BASELINE config 2 shape: 256 x 4096 = 1.05 Mcol simulated "
