@@ -39,6 +39,79 @@ def pin_cores(n_dev: int) -> int:
     return n_dev
 
 
+def measure_proc(pid: int, nproc: int, port: str, w_per_dev: int,
+                 t_len: int, m: int):
+    """One process of the process-isolated measurement: a single-device CPU
+    backend pinned to ONE core, joined to an ``nproc``-process global mesh
+    over ``jax.distributed`` loopback (Gloo).  Unlike the virtual-device
+    mode, per-device compute here runs on a genuinely private core and the
+    final psum crosses a real inter-process collective — the same pattern
+    as N TPU hosts over DCN."""
+    cores = sorted(os.sched_getaffinity(0))
+    os.sched_setaffinity(0, {cores[pid % len(cores)]})
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nproc, process_id=pid,
+        )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from itrails_tpu.hmm import sharding
+
+    devs = jax.devices()
+    mesh = sharding.data_mesh(devs)
+    n_dev = len(devs)
+    assert n_dev == nproc, (n_dev, nproc)
+
+    rng = np.random.default_rng(0)
+    a = rng.random((m, m))
+    a /= a.sum(1, keepdims=True)
+    bfull = rng.random((m, 625)) * 0.01 + 1e-4
+    pi = rng.random(m)
+    pi /= pi.sum()
+    cast = jnp.float32
+    a, bfull, pi = (jnp.asarray(x, cast) for x in (a, bfull, pi))
+    repl = NamedSharding(mesh, P())
+    a, bfull, pi = (jax.device_put(x, repl) for x in (a, bfull, pi))
+
+    w = nproc * w_per_dev
+    tokens_np = rng.integers(0, 625, size=(w, t_len)).astype(np.int32)
+    sh = NamedSharding(mesh, P("data", None))
+    tokens = jax.make_array_from_callback(
+        (w, t_len), sh, lambda idx: tokens_np[idx]
+    )
+    f = sharding.sharded_loglik_fn(mesh)
+    jax.block_until_ready(f(a, bfull, pi, tokens))  # compile
+    jax.block_until_ready(f(a, bfull, pi, tokens))
+    n_rep = 3
+    t0 = time.time()
+    for _ in range(n_rep):
+        ll = f(a, bfull, pi, tokens)
+    jax.block_until_ready(ll)
+    dt = (time.time() - t0) / n_rep
+    cols = w * t_len
+    return {
+        "n_devices": nproc,
+        "windows": w,
+        "t_len": t_len,
+        "cols": cols,
+        "seconds": dt,
+        "cols_per_s": cols / dt,
+        "cols_per_s_per_device": cols / dt / nproc,
+        "loglik": float(ll),
+        "isolation": "1 process = 1 pinned core = 1 device; "
+                     "psum over jax.distributed (Gloo loopback)",
+    }
+
+
 def measure(n_dev: int, w_per_dev: int, t_len: int, m: int):
     import jax
 
@@ -92,6 +165,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--worker", type=int, default=None,
                    help="(internal) run one measurement at N devices")
+    p.add_argument("--proc-worker", type=str, default=None,
+                   help="(internal) 'pid,nproc,port' for one process of the "
+                        "process-isolated mode")
+    p.add_argument("--mode", choices=["virtual", "procs"], default="procs",
+                   help="procs: N pinned single-device processes over "
+                        "jax.distributed loopback (true isolation; default); "
+                        "virtual: N virtual devices in one process")
     p.add_argument("--backend", choices=["cpu", "tpu"], default="cpu")
     p.add_argument("--w-per-dev", type=int, default=64)
     p.add_argument("--t-len", type=int, default=4096)
@@ -106,6 +186,14 @@ def main():
     p.add_argument("--out", type=str,
                    default=os.path.join(REPO, "WEAKSCALING.json"))
     args = p.parse_args()
+
+    if args.proc_worker is not None:
+        pid, nproc, port = args.proc_worker.split(",")
+        res = measure_proc(int(pid), int(nproc), port,
+                           args.w_per_dev, args.t_len, args.m)
+        if int(pid) == 0:
+            print("RESULT " + json.dumps(res))
+        return
 
     if args.worker is not None:
         pinned = 0
@@ -125,6 +213,69 @@ def main():
         res = measure(args.worker, args.w_per_dev, args.t_len, args.m)
         res["cores_pinned"] = pinned
         print("RESULT " + json.dumps(res))
+        return
+
+    if args.mode == "procs" and args.backend == "cpu":
+        n_cores = len(os.sched_getaffinity(0))
+        if args.sizes:
+            sizes = [int(s) for s in args.sizes.split(",")]
+        else:
+            sizes = [n for n in (1, 2, 4, 8) if n <= n_cores]
+        rows = []
+        for n in sizes:
+            env = dict(os.environ)
+            env["PYTHONPATH"] = REPO + (
+                os.pathsep + env["PYTHONPATH"]
+                if env.get("PYTHONPATH") else ""
+            )
+            port = str(12731 + n)
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--proc-worker", f"{pid},{n},{port}",
+                     "--w-per-dev", str(args.w_per_dev),
+                     "--t-len", str(args.t_len), "--m", str(args.m)],
+                    env=env, stdout=subprocess.PIPE, text=True)
+                for pid in range(n)
+            ]
+            outs = [pr.communicate(timeout=900)[0] for pr in procs]
+            if any(pr.returncode for pr in procs):
+                raise RuntimeError(
+                    f"proc-worker n={n} failed: {outs}")
+            line = [ln for out in outs for ln in out.splitlines()
+                    if ln.startswith("RESULT ")]
+            rows.append(json.loads(line[-1][len("RESULT "):]))
+            print(f"n={n}: {rows[-1]['cols_per_s_per_device']/1e6:.2f} "
+                  f"Mcol/s/device")
+        base = rows[0]["cols_per_s_per_device"]
+        for r in rows:
+            r["weak_scaling_efficiency"] = r["cols_per_s_per_device"] / base
+        report = {
+            "metric": "weak scaling of sharded forward loglik "
+                      "(fixed per-device work)",
+            "expectation": (
+                "one jitted shard_map per device with a SINGLE psum of a "
+                "per-shard scalar (hmm/sharding.py) — O(1) scalars of "
+                "communication per eval, so weak scaling should be "
+                "near-flat on real hardware"
+            ),
+            "mode": "process-isolated: each of N processes owns ONE pinned "
+                    "core and ONE cpu device; the psum crosses "
+                    "jax.distributed (Gloo loopback) exactly as it would "
+                    "cross DCN between TPU hosts",
+            "caveat": f"this host exposes {n_cores} cores, so mesh sizes "
+                      f"beyond {n_cores} are not isolable here; run "
+                      "--backend tpu on a real slice for hardware numbers "
+                      "(see README runbook)",
+            "backend": "cpu",
+            "m_states": args.m,
+            "w_per_dev": args.w_per_dev,
+            "t_len": args.t_len,
+            "rows": rows,
+        }
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.out}")
         return
 
     if args.sizes:
