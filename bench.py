@@ -154,9 +154,10 @@ def main():
         evs.append(time.time() - t0)
     optimizer_eval_s = float(np.median(evs))
 
-    # secondary decoders on a (1024, win_len) slice (posterior stores
-    # (T, M, W) alphas+gammas on-device — keep the batch inside HBM)
-    wd = min(1024, n_windows)
+    # secondary decoders on a (2048, win_len) slice (posterior stores
+    # (T, M, W) alphas+gammas on-device, ~4.3 GB at this shape — inside
+    # HBM, and wide enough for the full 2048-lane kernel window blocks)
+    wd = min(2048, n_windows)
     dec_tokens = [b[:wd] for b in bufs[:3]]
     vit = jax.jit(lambda a, bf, pi, t: decoders.viterbi_fast(a, bf, pi, t)[:, -1].sum())
     post = jax.jit(lambda a, bf, pi, t: decoders.posterior_fast(a, bf, pi, t)[-1].sum())

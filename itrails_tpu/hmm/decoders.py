@@ -99,12 +99,19 @@ def forward_loglik(a, bfull, pi, tokens):
 def forward_loglik_fast(a, bfull, pi, tokens):
     """Total log-likelihood, dispatched at trace time to the fused Pallas
     TPU kernel (hmm.pallas_fwd) when on a TPU backend, else the XLA scan.
-    The kernel computes the same quantity with a scaled-linear recurrence;
-    agreement is ~1e-6 relative (bf16 hi+lo emission table)."""
+    The TPU path runs the throughput-tuned precision mix (16-significand-
+    bit emission table + 3-pass transition matmul): agreement with the f32
+    scan is ~2e-6 relative on the total — the same order as the f32 scan's
+    own deviation from f64 — and ~1.4x the bit-exact kernel's throughput
+    at M=133 (tools/exp_fwd_precision.py).  For the bit-exact-vs-f32-scan
+    configuration call pallas_fwd.forward_loglik_fused directly (its
+    defaults: table_parts=3, trans="highest")."""
     from itrails_tpu.hmm import pallas_fwd
 
     if pallas_fwd.supported():
-        return pallas_fwd.forward_loglik_fused(a, bfull, pi, tokens)
+        return pallas_fwd.forward_loglik_fused(
+            a, bfull, pi, tokens, table_parts=2, trans="split3"
+        )
     return forward_loglik(a, bfull, pi, tokens)
 
 
@@ -115,7 +122,9 @@ def posterior_fast(a, bfull, pi, tokens):
     from itrails_tpu.hmm import pallas_fwd
 
     if pallas_fwd.supported():
-        return pallas_fwd.posterior_fused(a, bfull, pi, tokens)
+        return pallas_fwd.posterior_fused(
+            a, bfull, pi, tokens, table_parts=2, trans="split3"
+        )
     return posterior(a, bfull, pi, tokens)
 
 

@@ -43,6 +43,12 @@ __all__ = ["forward_loglik_fused", "forward_fused", "posterior_fused",
 _K = 625  # alphabet size
 _KP = 640  # padded to a lane multiple
 _KB = 256  # unambiguous base-column count (multi-hot contraction width)
+# VMEM cap (MB) for one (tc, Mp, BW) posterior alpha/gamma pipeline
+# buffer; with ~16 MB of VMEM/core the backward pass keeps 4 such
+# buffers.  2.0 (tc=8 at the default block) measured as fast as deeper
+# chunks — the kernels are instruction-issue bound, so VMEM is better
+# spent on window-block WIDTH than chunk depth (tools/exp_post_phases.py)
+_POST_BLOCK_MB = 2.0
 
 
 def supported(platform: str | None = None) -> bool:
@@ -89,6 +95,46 @@ def _sum_parts(e2, mp: int, parts: int):
     for k in range(1, parts):
         out = out + e2[k * mp:(k + 1) * mp]
     return out
+
+
+def split2_bf16_2d(x):
+    """(R, C) f32 -> hi/lo bf16 pair whose f32 sum carries the top 16
+    significand bits of ``x`` (integer-masked: Mosaic/XLA cannot elide it,
+    and both halves are exactly representable in bf16)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
+
+
+def _make_transition(trans: str, at, mp: int):
+    """Per-step transition contraction closure, (Mp, BW) f32 alpha ->
+    (Mp, BW) f32 ``a.T @ alpha``.
+
+    highest: one f32 dot at Precision.HIGHEST — Mosaic lowers it to the
+    6-pass bf16 decomposition (full f32 fidelity).  At M=133 those 6
+    passes are ~40% of the kernel's MXU work.
+
+    split3: manual 3-pass variant.  ``at`` arrives pre-split as a stacked
+    (2Mp, Mp) bf16 [hi; lo]; alpha is split per step with the same
+    integer-masked bf16 halving.  hh + lh come out of ONE stacked matmul,
+    hl from a second — 3 Mp^2 MXU passes instead of 6, dropping only the
+    lo*lo term (~2^-32 relative).  Each operand carries 16 significand
+    bits, so per-element error is ~1e-5 relative with random sign; over a
+    full chromosome the measured total-loglik deviation is ~1e-7 relative
+    (tools/exp_fwd_precision.py), the same order as f32-scan-vs-f64."""
+    if trans == "split3":
+        def tr(al):
+            al_h, al_l = split2_bf16_2d(al)
+            both = jnp.dot(at, al_h, preferred_element_type=jnp.float32)
+            hl = jnp.dot(at[:mp], al_l,
+                         preferred_element_type=jnp.float32)
+            return both[:mp] + both[mp:] + hl
+    else:
+        def tr(al):
+            return jnp.dot(at, al, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    return tr
 
 
 def _make_emission(multihot: bool, btcat, bw: int, mp: int, parts: int = 3):
@@ -139,7 +185,7 @@ def _make_emission(multihot: bool, btcat, bw: int, mp: int, parts: int = 3):
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
             ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
             multihot: bool = False, parts: int = 3,
-            trans_precision=jax.lax.Precision.HIGHEST, al_all_ref=None):
+            trans: str = "highest", al_all_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -148,17 +194,17 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         acc_s[:] = acc0_ref[:]
 
     btcat = btcat_ref[:]  # (3*Mp, KP|KB) bf16 (hi/mid/lo residual split)
-    at = at_ref[:]  # (Mp, Mp) f32, transition transposed
+    at = at_ref[:]  # transition transposed: (Mp, Mp) f32 | (2Mp, Mp) bf16
 
     bw = tok_ref.shape[1]
     em = _make_emission(multihot, btcat, bw, mp, parts)
+    tr = _make_transition(trans, at, mp)
 
     def step(t, carry):
         al, acc = carry
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
         e = em(tok)  # (Mp, BW) f32 emission rows
-        nx = jnp.dot(at, al, preferred_element_type=jnp.float32,
-                     precision=trans_precision) * e
+        nx = tr(al) * e
         s = jnp.sum(nx, axis=0, keepdims=True)  # (1, BW)
         pad = tok == PAD_TOKEN
         snz = jnp.where(pad, 1.0, s)
@@ -169,7 +215,10 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         return al, acc
 
     # int32 bounds keep the induction variable i32 under jax_enable_x64
-    # (an i64 index fails Mosaic legalization)
+    # (an i64 index fails Mosaic legalization).  NB: unrolling this loop
+    # was measured to change nothing (Mosaic already overlaps the
+    # carry-independent emission matmuls); throughput scales with the
+    # window-block WIDTH instead — the kernel is instruction-issue bound
     al, acc = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(chunk_t), step, (al_s[:], acc_s[:])
     )
@@ -183,12 +232,16 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
 
 
 def _model_tensors(a, bfull, mp: int, m: int, multihot: bool,
-                   parts: int = 3):
+                   parts: int = 3, trans: str = "highest"):
     """Padded transposed transition + split emission table for the fused
     kernels (multihot: the (Mp, 256) BASE table; onehot: the full (Mp, KP)
-    aggregated table)."""
+    aggregated table).  trans="split3": the transition ships pre-split as
+    a stacked (2Mp, Mp) bf16 [hi; lo] pair (see _make_transition)."""
     f32 = jnp.float32
     at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
+    if trans == "split3":
+        hi, lo = split2_bf16_2d(at)
+        at = jnp.concatenate([hi, lo], axis=0)
     if multihot:
         bt = jnp.zeros((mp, _KB), f32).at[:m, :].set(
             bfull[:, :_KB].astype(f32)
@@ -212,12 +265,12 @@ def _token_stream(tokens, multihot: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("block_w", "chunk_t", "interpret", "emission",
-                     "table_parts", "trans_highest"),
+                     "table_parts", "trans"),
 )
 def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
                   chunk_t: int = 128, interpret: bool = False,
                   emission: str = "onehot", table_parts: int = 3,
-                  trans_highest: bool = True):
+                  trans: str = "highest"):
     """Scaled-linear forward pass.
 
     Args:
@@ -226,8 +279,15 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
       pi: (M,) initial distribution.
       tokens: (W, T) int32, right-padded with PAD_TOKEN.
       emission: "onehot" (default; bit-exact table rows) or "multihot"
-        (2.5x fewer emission MXU FLOPs, rows f32-roundoff-exact; default
-        pending hardware measurement — see tools/exp_m133_fwd.py).
+        (2.5x fewer emission MXU FLOPs but VPU-bound building the
+        multi-hot: measured ~2x SLOWER on v5e — tools/exp_m133_fwd.py;
+        kept for the record).
+      table_parts: 3 (default; bit-exact f32 emission rows) or 2 (top 16
+        significand bits; ~1e-7 relative total-loglik deviation, ~15%
+        faster — tools/exp_fwd_precision.py).
+      trans: "highest" (default; 6-pass f32 transition matmul) or
+        "split3" (manual 3-pass, ~1e-7 relative total deviation — see
+        _make_transition).
 
     Returns:
       (alpha, loglik): alpha (W, M) — the *normalised* linear-space final
@@ -242,7 +302,8 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     multihot = emission == "multihot"
     kb = _KB if multihot else _KP
 
-    at, btcat = _model_tensors(a, bfull, mp, m, multihot, table_parts)
+    at, btcat = _model_tensors(a, bfull, mp, m, multihot, table_parts,
+                               trans)
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
@@ -273,9 +334,7 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     ll, alf = pl.pallas_call(
         functools.partial(
             _kernel, mp=mp, chunk_t=tc, multihot=multihot,
-            parts=table_parts,
-            trans_precision=(jax.lax.Precision.HIGHEST if trans_highest
-                             else jax.lax.Precision.HIGH),
+            parts=table_parts, trans=trans,
         ),
         grid=grid,
         in_specs=[
@@ -285,7 +344,8 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((table_parts * mp, kb), zz,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec(((2 * mp if trans == "split3" else mp), mp), zz,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
@@ -312,13 +372,16 @@ def forward_loglik_fused(a, bfull, pi, tokens, **kw):
 
 def _kernel_alpha(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
                   ll_ref, alf_ref, al_all_ref, al_s, acc_s, *,
-                  mp: int, chunk_t: int):
+                  mp: int, chunk_t: int, parts: int = 3,
+                  trans: str = "highest"):
     _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref, ll_ref, alf_ref,
-            al_s, acc_s, mp=mp, chunk_t=chunk_t, al_all_ref=al_all_ref)
+            al_s, acc_s, mp=mp, chunk_t=chunk_t, al_all_ref=al_all_ref,
+            parts=parts, trans=trans)
 
 
 def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
-                *, mp: int, chunk_t: int):
+                *, mp: int, chunk_t: int, parts: int = 3,
+                trans: str = "highest"):
     """Reverse sweep: fused reference-convention backward recursion
     (beta'[j] = sum_i a[i, j] (e * beta)[i], decoders.backward NOTE) and
     posterior combine gamma_t = normalize(alpha_t * beta_t).  Scale factors
@@ -334,6 +397,7 @@ def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
     at = at_ref[:]
     bw = tok_ref.shape[1]
     kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+    tr = _make_transition(trans, at, mp)
 
     def step(k, be):
         t = chunk_t - 1 - k
@@ -345,9 +409,8 @@ def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
 
         oh = (tok == kio).astype(jnp.bfloat16)
         e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
-        e = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]
-        nx = jnp.dot(at, be * e, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+        e = _sum_parts(e2, mp, parts)
+        nx = tr(be * e)
         sn = jnp.sum(nx, axis=0, keepdims=True)
         nx = nx / jnp.where(sn > 0, sn, 1.0)
         pad = tok == PAD_TOKEN
@@ -362,32 +425,42 @@ def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_w", "chunk_t", "interpret")
+    jax.jit, static_argnames=("block_w", "chunk_t", "interpret",
+                              "table_parts", "trans", "layout")
 )
-def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
-                    chunk_t: int = 128, interpret: bool = False):
+def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
+                    chunk_t: int = 128, interpret: bool = False,
+                    table_parts: int = 3, trans: str = "highest",
+                    layout: str = "twm"):
     """Posterior state probabilities, (T, W, M) — same contract as
     decoders.posterior (padded steps are garbage; mask with
     ``tokens != PAD_TOKEN``).  Two fused kernels: the forward pass storing
     every normalised alpha, then a reverse-grid backward pass emitting
-    gamma directly."""
+    gamma directly.  table_parts/trans as in forward_fused (the fast
+    dispatch runs 2/"split3": gammas normalise per column, so the ~1e-6
+    relative value error does not accumulate)."""
     m = a.shape[0]
     w, t_len = tokens.shape
     mp = _round_up(max(m, 8), 8)
     f32 = jnp.float32
 
     at = jnp.zeros((mp, mp), f32).at[:m, :m].set(a.T.astype(f32))
+    if trans == "split3":
+        hi, lo = split2_bf16_2d(at)
+        at = jnp.concatenate([hi, lo], axis=0)
     bt = jnp.zeros((mp, _KP), f32).at[:m, :_K].set(bfull.astype(f32))
-    btcat = split_bf16(bt)
+    btcat = split_bf16(bt, table_parts)
+    atsub = 2 * mp if trans == "split3" else mp
 
     bw = min(block_w, _round_up(w, 128))
     wp = _round_up(w, bw)
     # the backward kernel holds two (tc, Mp, BW) f32 block streams (alpha
     # in, gamma out), each double-buffered: 4 live buffers + tables must
-    # fit VMEM, so cap each block at ~3.2 MB (the previous 1.75 MB cap
-    # left half of VMEM idle and starved the MXU at small tc)
+    # fit VMEM — _POST_BLOCK_MB caps each block (the original 1.75 MB cap
+    # left half of VMEM idle; columns-per-grid-step scales with it)
     tc = min(chunk_t,
-             max(8, (int(3.2 * 2**20) // (mp * bw * 4)) // 8 * 8))
+             max(8, (int(_POST_BLOCK_MB * 2**20) // (mp * bw * 4))
+                 // 8 * 8))
 
     tok0 = tokens[:, 0]
     e0 = bt[:m, :_K].T[jnp.maximum(tok0, 0)]
@@ -410,15 +483,17 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
 
     _ll, _alf, al_all = pl.pallas_call(
-        functools.partial(_kernel_alpha, mp=mp, chunk_t=tc),
+        functools.partial(_kernel_alpha, mp=mp, chunk_t=tc,
+                          parts=table_parts, trans=trans),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((table_parts * mp, _KP), zz,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((atsub, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
@@ -438,16 +513,21 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
         interpret=interpret,
     )(tok_t, al0_p, acc0_p, btcat, at)
 
+    if layout == "fwdonly":  # diagnostic: forward+store pass alone
+        return jnp.sum(_ll[0, :w]) + al_all[0, 0, 0]
+
     rev = lambda i, j: (i * 0 + n_j - 1 - j, i)  # noqa: E731
     rev3 = lambda i, j: (i * 0 + n_j - 1 - j, i * 0, i)  # noqa: E731
     gam, be0 = pl.pallas_call(
-        functools.partial(_bwd_kernel, mp=mp, chunk_t=tc),
+        functools.partial(_bwd_kernel, mp=mp, chunk_t=tc,
+                          parts=table_parts, trans=trans),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bw), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
+            pl.BlockSpec((table_parts * mp, _KP), zz,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((atsub, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
@@ -465,6 +545,11 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     g0 = al0_p[:m, :w] * be0[:m, :w]  # (M, W)
     g0 = g0 / jnp.maximum(jnp.sum(g0, axis=0, keepdims=True), 1e-38)
     n_real = rest.shape[1]
+    if layout == "tmw":
+        # raw kernel layout, (T, M, W): skips a full-HBM-round-trip
+        # transpose — use when the consumer can reduce/consume
+        # state-major gammas directly
+        return jnp.concatenate([g0[None], gam[:n_real, :m, :w]], axis=0)
     post = jnp.concatenate(
         [g0.T[None], jnp.transpose(gam[:n_real, :m, :w], (0, 2, 1))], axis=0
     )

@@ -67,6 +67,12 @@ _NEG = -1e4  # "impossible" log-prob; bounded so max-plus arithmetic stays finit
 # large-M value-only forward: unrolled 2-D running max (True) vs grouped
 # 3-D slab fori_loop (False) — see _fwd_kernel_vo
 _VO_UNROLL2D = True
+# VMEM cap (MB) for one (tc, Mp, BW) pointer/omega pipeline buffer; with
+# ~16 MB of VMEM/core two live buffers plus tables must fit
+_PTR_BLOCK_MB = 4.0
+# timing diagnostic ONLY (wrong paths): skip the omega-stream store in the
+# value-only forward to measure the compute ceiling at wide window blocks
+_VO_NOSTORE = False
 
 
 def supported(platform: str | None = None) -> bool:
@@ -157,17 +163,27 @@ def _fwd_kernel_vo(tok_ref, om0_ref, logbt_ref, latt_ref, om_all_ref,
 
     if unroll2d:
         lat = latt_ref[:]  # (Mp, Mp): lat[dest, src] (passed untransposed)
+        nacc = 4  # independent running-max chains (ILP)
 
         def maxplus_valonly(om):
             # fully unrolled 2-D running max over source states: the same
             # add+max op count as the slab form but all ops are flat
-            # (Mp, BW) vectors with a single live accumulator — measured
-            # ~2x the grouped fori_loop at Mp=136 (no scratch round-trip,
-            # no 3-D slab materialisation)
-            mx = lat[:, 0:1] + om[0:1, :]
-            for i in range(1, mp):
-                mx = jnp.maximum(mx, lat[:, i:i + 1] + om[i:i + 1, :])
-            return mx
+            # (Mp, BW) vectors — and split across ``nacc`` independent
+            # accumulator chains so the VPU is not serialised on one
+            # max-dependency chain (f32 max is exact and associative, so
+            # any accumulation order is bit-identical to the scan
+            # decoder's, ties included).
+            accs = [lat[:, k:k + 1] + om[k:k + 1, :]
+                    for k in range(min(nacc, mp))]
+            for i in range(len(accs), mp):
+                k = i % nacc
+                accs[k] = jnp.maximum(accs[k],
+                                      lat[:, i:i + 1] + om[i:i + 1, :])
+            while len(accs) > 1:
+                accs = [jnp.maximum(accs[k], accs[k + 1])
+                        for k in range(0, len(accs) - 1, 2)] + (
+                    [accs[-1]] if len(accs) % 2 else [])
+            return accs[0]
     else:
         def maxplus_valonly(om):
             # fori_loop over groups of 8 source states: bounded live
@@ -188,7 +204,8 @@ def _fwd_kernel_vo(tok_ref, om0_ref, logbt_ref, latt_ref, om_all_ref,
 
     def step(t, om):
         tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
-        om_all_ref[pl.ds(t, 1), :, :] = om[None]  # omega ENTERING step t
+        if not _VO_NOSTORE:
+            om_all_ref[pl.ds(t, 1), :, :] = om[None]  # omega ENTERING t
         oh = (tok == kio).astype(jnp.bfloat16)
         e2 = jnp.dot(logbt, oh, preferred_element_type=jnp.float32)
         loge = e2[:mp] + e2[mp:2 * mp] + e2[2 * mp:]  # (Mp, BW) f32-exact
@@ -304,8 +321,16 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     bw = min(block_w, bw_cap, _round_up(w, 128))
     wp = _round_up(w, bw)
     # the (tc, Mp, BW) pointer/omega block is the VMEM hog; cap it at
-    # ~4 MB per pipeline buffer (int8: 4x the columns of int32)
-    tc = min(chunk_t, max(8, (4 * 2**20 // (mp * bw * pbytes)) // 8 * 8))
+    # ~_PTR_BLOCK_MB per pipeline buffer (int8: 4x the columns of int32).
+    # tc below 8 is legal (the tiled dims of a 3-D block are the last
+    # two) and worth it: the kernels are instruction-issue bound, so a
+    # WIDER window block at a shallower time chunk is a large net win.
+    tc = min(chunk_t,
+             max(8, (int(_PTR_BLOCK_MB * 2**20) // (mp * bw * pbytes))
+                 // 8 * 8))
+    mp_out = mp
+    if grouped and _VO_NOSTORE:  # timing diagnostic: no omega stream
+        tc, mp_out = min(chunk_t, 64), 8
 
     tok0 = tokens[:, 0]
     e0 = log_clip(bfull).T[jnp.maximum(tok0, 0)]  # (W, M)
@@ -344,12 +369,12 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tc, mp, bw), lambda i, j: (j, i * 0, i),
+            pl.BlockSpec((tc, mp_out, bw), lambda i, j: (j, i * 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, mp, wp), pdt),
+            jax.ShapeDtypeStruct((tp, mp_out, wp), pdt),
             jax.ShapeDtypeStruct((mp, wp), f32),
         ],
         scratch_shapes=fwd_scratch,

@@ -124,6 +124,44 @@ def test_split_bf16_is_bit_exact_under_jit():
 
 
 @pytest.mark.parametrize("m", [27, 133])
+def test_fused_forward_fastmix_matches_scan(m):
+    """The throughput-tuned precision mix used by the TPU fast dispatch
+    (16-bit emission table + manual 3-pass transition, see
+    decoders.forward_loglik_fast) must agree with the scan decoder to the
+    documented ~1e-6-relative tolerance."""
+    a, bfull, pi = _random_model(m, seed=13)
+    rng = np.random.default_rng(14)
+    tokens = np.asarray(rng.integers(0, 625, size=(3, 50)), np.int32)
+    tokens[1, 30:] = PAD_TOKEN
+    tokens = jnp.asarray(tokens)
+    _, ll_ref = decoders.forward(a, bfull, pi, tokens)
+    _, ll = pallas_fwd.forward_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=8, interpret=True,
+        table_parts=2, trans="split3",
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), atol=2e-3)
+
+
+@pytest.mark.parametrize("m", [9, 27])
+def test_fused_posterior_fastmix_matches_scan(m):
+    """posterior_fast's kernel configuration (table_parts=2, split3)."""
+    a, bfull, pi = _random_model(m, seed=15)
+    rng = np.random.default_rng(16)
+    tokens = np.asarray(rng.integers(0, 625, size=(3, 41)), np.int32)
+    tokens[1, 30:] = PAD_TOKEN
+    tokens = jnp.asarray(tokens)
+    p_ref = np.asarray(decoders.posterior(a, bfull, pi, tokens))
+    p_ker = np.asarray(pallas_fwd.posterior_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=8, interpret=True,
+        table_parts=2, trans="split3",
+    ))
+    mask = (np.asarray(tokens) != PAD_TOKEN).T[:, :, None]
+    np.testing.assert_allclose(
+        np.where(mask, p_ker, 0.0), np.where(mask, p_ref, 0.0), atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("m", [27, 133])
 @pytest.mark.parametrize("parts", [2, 3])
 def test_fused_forward_multihot_matches_scan(m, parts):
     """The multihot emission path (bit-code half-split construction) must

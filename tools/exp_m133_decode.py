@@ -49,10 +49,12 @@ def main():
          lambda a, b, p, t: pallas_viterbi.viterbi_fused(a, b, p, t),
          lambda r: r[:, -1].astype(jnp.int32).sum()),
         ("m133_post", 133, 512, 4096,
-         lambda a, b, p, t: pallas_fwd.posterior_fused(a, b, p, t),
+         lambda a, b, p, t: pallas_fwd.posterior_fused(
+             a, b, p, t, table_parts=2, trans="split3"),
          lambda r: r[-1].sum()),
         ("m27_post", 27, 1024, 8192,
-         lambda a, b, p, t: pallas_fwd.posterior_fused(a, b, p, t),
+         lambda a, b, p, t: pallas_fwd.posterior_fused(
+             a, b, p, t, table_parts=2, trans="split3"),
          lambda r: r[-1].sum()),
     ]
     for name, m, w, t, fn, red in cases:
