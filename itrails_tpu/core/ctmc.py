@@ -39,7 +39,10 @@ def _rate_matrix(space, coal, rho, dtype):
     return q - jnp.diag(jnp.sum(q, axis=1))
 
 
-_BUCKET_SIZES = (8, 16, 32, 48, 64, 96, 128, 160, 208)
+# finer steps around 64-96: at 7x7 the 73-88-state supports are 90% of
+# the Van Loan expm flops, and padding them to 96 cost an extra ~2 Gflop
+_BUCKET_SIZES = (8, 16, 24, 32, 40, 48, 56, 64, 72, 80, 88, 96, 104, 112,
+                 128, 160, 208)
 
 
 def _vl_buckets(step, masks_np):
