@@ -148,7 +148,11 @@ def _bwd_kernel(tok_ref, chk_ref, btcat_ref, at_ref, afwd_ref,
         t = chunk_t - 1 - k
         tok = tok_ref[pl.ds(t, 1), :]
         pad = tok == PAD_TOKEN
-        live = jnp.where(pad, 0.0, 1.0)  # (1, BW)
+        # NB: (~pad).astype, not jnp.where(pad, 0.0, 1.0) — a where over
+        # two bare Python floats traces to f64 under jax_enable_x64, and
+        # a 64-bit vector aborts the Mosaic TPU compiler (layout.h
+        # bitwidth check)
+        live = (~pad).astype(jnp.float32)  # (1, BW)
         u = alsc[t]  # (Mp, BW) alpha-hat_{t-1}
         e = esc[t]
         atu = jnp.dot(at, u, preferred_element_type=jnp.float32,
