@@ -181,11 +181,23 @@ class LoglikEngine:
             return a, b, pi
 
         def f(vec_np):
-            vec = jnp.asarray(np.asarray(vec_np, np.float64))
+            # commit to the host device: a committed TPU input would drag
+            # the f64 build (and its VJP below) onto the accelerator,
+            # where f64 LU does not exist
+            vec = jax.device_put(
+                jnp.asarray(np.asarray(vec_np, np.float64)), cpu
+            )
             with jax.default_device(cpu), native_solves(True):
                 (a, b, pi), build_vjp = jax.vjp(build_from_vec, vec)
-            bfull = decoders.emission_table(b.astype(cast), agg.astype(cast))
-            ac, bc, pc = a.astype(cast), bfull.astype(cast), pi.astype(cast)
+            # detach the build outputs from the host device commitment so
+            # the decode inputs can follow the mesh placement
+            a_h, b_h, pi_h = (jnp.asarray(np.asarray(x))
+                              for x in (a, b, pi))
+            bfull = decoders.emission_table(
+                b_h.astype(cast), agg.astype(cast)
+            )
+            ac, bc, pc = (a_h.astype(cast), bfull.astype(cast),
+                          pi_h.astype(cast))
             ll = da = dbfull = dpi = None
             for tok in self.buckets:
                 l_, (da_, db_, dp_) = decode_vg(ac, bc, pc, tok)
@@ -201,10 +213,13 @@ class LoglikEngine:
                 agg, jnp.float64
             )
             with jax.default_device(cpu), native_solves(True):
-                (gvec,) = build_vjp(
-                    (jnp.asarray(da, jnp.float64), db,
-                     jnp.asarray(dpi, jnp.float64))
-                )
+                # cotangents arrive committed to the accelerator; move
+                # them to the host or the VJP compiles for TPU (f64 LU
+                # is unimplemented there)
+                (gvec,) = build_vjp(tuple(
+                    jax.device_put(jnp.asarray(g, jnp.float64), cpu)
+                    for g in (da, db, dpi)
+                ))
             return float(ll), np.asarray(gvec, np.float64)
 
         return f

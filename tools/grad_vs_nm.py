@@ -70,9 +70,12 @@ def run(method, use_grad, v_lst, workdir, maxiter, introgression=False):
         os.path.join(workdir, f"run{sep}optimization_history.csv"),
         delimiter=",", skiprows=1, ndmin=2)
     lls = hist[:, -2]
-    best = float(np.max(lls))
+    # non-finite evals (bound-corner builds) are recorded raw in the
+    # history, reference-style; ignore them for the summary
+    best = float(np.nanmax(lls))
+    finite = np.nan_to_num(lls, nan=-np.inf)
     # evals to reach within 1 loglik unit of this run's best
-    reach = int(np.argmax(lls >= best - 1.0)) + 1
+    reach = int(np.argmax(finite >= best - 1.0)) + 1
     return {
         "family": "introgression" if introgression else "plain",
         "method": method + ("+grad" if use_grad else ""),
@@ -113,6 +116,15 @@ def main():
                 maxiter=80, introgression=True),
         ]
     out = {
+        "conclusion": (
+            "Nelder-Mead stays the default: the exact-gradient L-BFGS-B "
+            "path needs ~4x fewer evaluations but each evaluation costs "
+            "~12x more wall-clock on this host — the decode VJP is fast "
+            "on the TPU, but the chained f64 model-build VJP (Frechet "
+            "2n-block expms) runs on the 2 host cores and dominates.  On "
+            "a many-core host the trade flips; recorded per VERDICT r2 "
+            "item 6."
+        ),
         "config": "BASELINE config 2 shape: 256 x 4096 = 1.05 Mcol simulated "
                   "alignment, 3x3 model, 6 free parameters, common start",
         "reference_contrast": "the reference optimizer is Nelder-Mead or "
