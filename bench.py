@@ -176,6 +176,11 @@ def main():
         except Exception as e:  # secondary metric must not kill the bench
             extras[f"{name}_mcols_per_s"] = f"error: {type(e).__name__}"
 
+    # free the M=27 batches before the flagship section: the W=2048
+    # posterior above holds multi-GB alpha/gamma allocations and the
+    # leftover HBM pressure was measured to slow the m133 posterior ~6x
+    del bufs, dec_tokens, vit, post
+
     # flagship 7x7 config (BASELINE config 3: 133 hidden states)
     try:
         t0 = time.time()
@@ -185,14 +190,18 @@ def main():
             r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev133,
         )
         extras["m133_build_s_first"] = round(time.time() - t0, 2)
-        t0 = time.time()
-        m133 = build_model(
-            t_A=0.00241, t_B=0.0024, t_C=0.0028, t_2=0.0004,
-            t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
-            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev133,
-        )
-        np.asarray(m133.a)
-        extras["m133_build_s_cached"] = round(time.time() - t0, 2)
+        bts = []
+        for k in range(3):  # steady-state per-eval rebuild (param changed)
+            t0 = time.time()
+            m133 = build_model(
+                t_A=0.00241 + 1e-6 * k, t_B=0.0024, t_C=0.0028, t_2=0.0004,
+                t_upper=0.00745069, t_out=0.009312, N_AB=0.0005,
+                N_ABC=0.0005, r=1.0, n_int_AB=7, n_int_ABC=7,
+                dtype="float64", device=bdev133,
+            )
+            np.asarray(m133.a)
+            bts.append(time.time() - t0)
+        extras["m133_build_s_cached"] = round(float(np.median(bts)), 2)
         a3 = jax.device_put(jnp.asarray(m133.a, cast), dev)
         pi3 = jax.device_put(jnp.asarray(m133.pi, cast), dev)
         bfull3 = jax.device_put(
