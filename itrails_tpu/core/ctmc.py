@@ -74,13 +74,37 @@ def _vl_buckets(step, masks_np):
     return out
 
 
+def _space_autoperms(n: int):
+    """Automorphism permutations of the ``n``-state space (species
+    relabelings), or just the identity when ``n`` matches no full space."""
+    from itrails_tpu.core.statespace import automorphism_perms
+
+    for species in (3, 2):
+        if state_space(species).n_states == n:
+            return automorphism_perms(species)
+    return (np.arange(n, dtype=np.int64),)
+
+
 def _precompute_vl(plan_steps, masks_np, q, dt):
     """Bucket structures + propagator exponentials for every Van Loan step,
     batched across ALL steps: one ``expm_batch`` per support-size class
     instead of one per (step, bucket).  At 7x7 the six ABC steps carry
     ~10k propagator applications over ~a thousand unique union supports;
     batching them collapses dozens of small expm dispatches (the dominant
-    cached-build cost) into a handful of large ones."""
+    cached-build cost) into a handful of large ones.
+
+    Orbit dedup: the per-epoch rates are species-symmetric, so supports
+    related by a species relabeling have permutation-identical restricted
+    generators (statespace.automorphism_perms) — ``expm(P^T A P) ==
+    P^T expm(A) P``.  Each support is canonicalised under the group and
+    only one representative per (step, orbit) is exponentiated; the job's
+    gather/scatter index row is reordered into representative order so the
+    representative's exponential applies directly.  At 7x7 this cuts the
+    expm batch 525 -> 151 (the >=56-state buckets, 90% of the flops,
+    198 -> 48).  Exactness: identical up to the ~1-ulp row-sum rounding
+    of the permuted diagonal (goldens pin at 1e-9 relative)."""
+    n = masks_np.shape[1]
+    perms = _space_autoperms(n)
     q_ext = jnp.pad(q, ((0, 1), (0, 1)))  # zero padding row/col
     per_step = []
     by_size = {}
@@ -91,16 +115,43 @@ def _precompute_vl(plan_steps, masks_np, q, dt):
             by_size.setdefault(sup_idx.shape[1], []).append((s, bi, sup_idx))
     expms = {}
     for size, jobs in sorted(by_size.items()):
-        sup_cat = np.concatenate([j[2] for j in jobs], axis=0)
-        q_sub = q_ext[sup_cat[:, :, None], sup_cat[:, None, :]]
-        dts = jnp.concatenate(
-            [jnp.broadcast_to(dt[s], (sup.shape[0],)) for s, _, sup in jobs]
-        )
+        uniq = {}  # (step, canonical support bytes) -> unique row id
+        rep_sup, rep_step = [], []  # padded support row / step per unique id
+        job_src = []  # (s, bi, per-union unique row ids)
+        for s, bi, sup_idx in jobs:
+            rid = np.empty(sup_idx.shape[0], dtype=np.int64)
+            new_sup = sup_idx.copy()
+            for k, row in enumerate(sup_idx):
+                real = row[row < n]
+                best = None
+                for p in perms:
+                    mapped = p[real]
+                    order = np.argsort(mapped)
+                    key = mapped[order].tobytes()
+                    if best is None or key < best[0]:
+                        best = (key, mapped[order], order)
+                key, canon, order = best
+                uk = (s, key)
+                if uk not in uniq:
+                    uniq[uk] = len(rep_sup)
+                    rep = np.full(size, n, dtype=np.int64)
+                    rep[: canon.size] = canon
+                    rep_sup.append(rep)
+                    rep_step.append(s)
+                rid[k] = uniq[uk]
+                # reorder this union's index row into representative order:
+                # position j of the representative is state canon[j] =
+                # p[real[order[j]]], whose original state is real[order[j]]
+                new_sup[k, : real.size] = real[order]
+            job_src.append((s, bi, rid))
+            t_sel, local_prop = per_step[s][bi][1], per_step[s][bi][2]
+            per_step[s][bi] = (new_sup, t_sel, local_prop)
+        rep_cat = np.stack(rep_sup, axis=0)
+        q_sub = q_ext[rep_cat[:, :, None], rep_cat[:, None, :]]
+        dts = jnp.stack([dt[s] for s in rep_step])
         e = expm_batch(q_sub * dts[:, None, None])
-        off = 0
-        for s, bi, sup in jobs:
-            expms[(s, bi)] = e[off:off + sup.shape[0]]
-            off += sup.shape[0]
+        for s, bi, rid in job_src:
+            expms[(s, bi)] = e[jnp.asarray(rid)]
     return per_step, expms
 
 
@@ -112,14 +163,21 @@ def _run_chain(plan_steps, masks, p, expms, vl_ctx=None, masks_np=None):
     for s, step in enumerate(plan_steps):
         e = expms[s]
         new_p = p
-        # normal transitions: (P[parent] * m_start) @ E * m_end
-        x = p[step.parent]
+        # normal transitions: (P[parent] * m_start) @ E * m_end.  Children
+        # sharing (parent, m_start) — the start mask is a property of the
+        # parent key — share the masked matmul row, so dedup at trace time
+        # (static plan arrays) cuts the (rows, S) @ (S, S) from the child
+        # count to the live-parent count (28k -> 15.7k at 7x7; ~1.8x the
+        # dominant per-eval matmul flops)
+        pairs = np.stack([step.parent, step.m_start], axis=1)
+        upairs, inv = np.unique(pairs, axis=0, return_inverse=True)
+        x = p[upairs[:, 0]]
         ms = jnp.where(
-            (step.m_start >= 0)[:, None],
-            masks[jnp.maximum(step.m_start, 0)],
+            (upairs[:, 1] >= 0)[:, None],
+            masks[np.maximum(upairs[:, 1], 0)],
             jnp.ones_like(x),
         )
-        vals = ((x * ms) @ e) * masks[step.m_end]
+        vals = ((x * ms) @ e)[inv] * masks[step.m_end]
         new_p = new_p.at[step.child].set(vals)
         if vl_ctx is not None and step.vl_parent.size:
             # multi-coalescence transitions via support-compressed

@@ -43,6 +43,7 @@ __all__ = [
     "canonical",
     "enumerate_states",
     "combine_partitions_map",
+    "automorphism_perms",
     "OMEGA_CODE_TO_TOPOLOGY",
 ]
 
@@ -229,6 +230,34 @@ def state_space(species: int) -> StateSpace:
         omega_masks=omega_masks,
         omega_events=omega_events,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def automorphism_perms(species: int) -> tuple:
+    """State-index permutations induced by relabeling the species.
+
+    Each species permutation sigma acts on a two-locus partition state by
+    permuting the species slots of BOTH loci and re-canonicalising; since
+    the transition structure is pure partition combinatorics with a single
+    per-epoch ``coal``/``rho`` rate, ``coal_pattern[p][:, p] ==
+    coal_pattern`` exactly (same for rho) for every such ``p`` — the basis
+    for the Van Loan orbit dedup in :func:`core.ctmc._precompute_vl`.
+    (The rate-matrix *diagonal* is the floating row-sum, whose summation
+    order differs under the permutation — equal only to ~1 ulp.)
+
+    Returns a tuple of ``species!`` int64 index arrays; the identity is
+    first.
+    """
+    sp = state_space(species)
+    out = []
+    for sigma in itertools.permutations(range(species)):
+        sel = list(sigma)
+        p = np.empty(sp.n_states, dtype=np.int64)
+        for i, st in enumerate(sp.states):
+            relabeled = np.concatenate([st[:species][sel], st[species:][sel]])
+            p[i] = sp.index[canonical(relabeled)]
+        out.append(p)
+    return tuple(out)
 
 
 @dataclass(frozen=True)

@@ -96,6 +96,21 @@ def forward_loglik(a, bfull, pi, tokens):
     return jnp.sum(ll)
 
 
+def _fast_precision():
+    """Precision mix for the fused-kernel fast dispatch, resolved at trace
+    time.  Default: the throughput-tuned mix (16-significand-bit emission
+    table + 3-pass transition matmul, ~2e-6 relative agreement with the
+    f32 scan).  Setting ``ITRAILS_TPU_EXACT_DECODE=1`` switches every fast
+    path (including the sharded/optimizer objective, which only reaches
+    the kernels through this dispatch) to the bit-exact-vs-f32-scan
+    configuration."""
+    import os
+
+    if os.environ.get("ITRAILS_TPU_EXACT_DECODE", "0") not in ("", "0"):
+        return {"table_parts": 3, "trans": "highest"}
+    return {"table_parts": 2, "trans": "split3"}
+
+
 def forward_loglik_fast(a, bfull, pi, tokens):
     """Total log-likelihood, dispatched at trace time to the fused Pallas
     TPU kernel (hmm.pallas_fwd) when on a TPU backend, else the XLA scan.
@@ -104,13 +119,14 @@ def forward_loglik_fast(a, bfull, pi, tokens):
     scan is ~2e-6 relative on the total — the same order as the f32 scan's
     own deviation from f64 — and ~1.4x the bit-exact kernel's throughput
     at M=133 (tools/exp_fwd_precision.py).  For the bit-exact-vs-f32-scan
-    configuration call pallas_fwd.forward_loglik_fused directly (its
-    defaults: table_parts=3, trans="highest")."""
+    configuration set ``ITRAILS_TPU_EXACT_DECODE=1`` (or call
+    pallas_fwd.forward_loglik_fused directly; its defaults:
+    table_parts=3, trans="highest")."""
     from itrails_tpu.hmm import pallas_fwd
 
     if pallas_fwd.supported():
         return pallas_fwd.forward_loglik_fused(
-            a, bfull, pi, tokens, table_parts=2, trans="split3"
+            a, bfull, pi, tokens, **_fast_precision()
         )
     return forward_loglik(a, bfull, pi, tokens)
 
@@ -118,12 +134,13 @@ def forward_loglik_fast(a, bfull, pi, tokens):
 def posterior_fast(a, bfull, pi, tokens):
     """Posterior probabilities, dispatched at trace time to the fused
     Pallas forward+backward kernels (hmm.pallas_fwd.posterior_fused) on
-    TPU, else the XLA scans."""
+    TPU, else the XLA scans.  ``ITRAILS_TPU_EXACT_DECODE=1`` selects the
+    bit-exact precision configuration (see forward_loglik_fast)."""
     from itrails_tpu.hmm import pallas_fwd
 
     if pallas_fwd.supported():
         return pallas_fwd.posterior_fused(
-            a, bfull, pi, tokens, table_parts=2, trans="split3"
+            a, bfull, pi, tokens, **_fast_precision()
         )
     return posterior(a, bfull, pi, tokens)
 

@@ -49,6 +49,23 @@ _KB = 256  # unambiguous base-column count (multi-hot contraction width)
 # chunks — the kernels are instruction-issue bound, so VMEM is better
 # spent on window-block WIDTH than chunk depth (tools/exp_post_phases.py)
 _POST_BLOCK_MB = 2.0
+# hard VMEM ceiling for the posterior backward pass's 4 live (tc, Mp, BW)
+# f32 buffers (alpha in + gamma out, each double-buffered); ~16 MB/core
+# minus tables/one-hot scratch.  The window block shrinks (power-of-two)
+# until the tc=8 floor fits this total — without it, mp=136 at the
+# default block_w=2048 would demand ~35 MB and fail Mosaic allocation
+_POST_TOTAL_MB = 12.0
+
+
+def _post_block_w(mp: int, w: int, block_w: int) -> int:
+    """Window-block width for the posterior kernels: the requested
+    ``block_w`` capped so that four live (8, mp, bw) f32 pipeline buffers
+    fit ``_POST_TOTAL_MB`` (power-of-two cap keeps wp padding minimal)."""
+    cap = int(_POST_TOTAL_MB * 2**20) // (4 * 8 * mp * 4)
+    pow2 = 128
+    while pow2 * 2 <= cap:
+        pow2 *= 2
+    return min(block_w, pow2, _round_up(w, 128))
 
 
 def supported(platform: str | None = None) -> bool:
@@ -438,7 +455,21 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
     every normalised alpha, then a reverse-grid backward pass emitting
     gamma directly.  table_parts/trans as in forward_fused (the fast
     dispatch runs 2/"split3": gammas normalise per column, so the ~1e-6
-    relative value error does not accumulate)."""
+    relative value error does not accumulate).
+
+    Returns
+    -------
+    layout="twm" (default): (T, W, M) f32 posterior probabilities.
+    layout="tmw": (T, M, W) — the raw kernel layout, skipping a
+        full-HBM-round-trip transpose; use when the consumer can reduce
+        state-major gammas directly.
+    layout="fwdonly": scalar f32 — timing diagnostic only (forward +
+        alpha-store pass alone; the value is the total loglik plus one
+        stored alpha entry so the store cannot be elided).
+    """
+    if layout not in ("twm", "tmw", "fwdonly"):
+        raise ValueError(f"unknown layout {layout!r}: "
+                         "expected 'twm', 'tmw' or 'fwdonly'")
     m = a.shape[0]
     w, t_len = tokens.shape
     mp = _round_up(max(m, 8), 8)
@@ -452,12 +483,13 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
     btcat = split_bf16(bt, table_parts)
     atsub = 2 * mp if trans == "split3" else mp
 
-    bw = min(block_w, _round_up(w, 128))
+    bw = _post_block_w(mp, w, block_w)
     wp = _round_up(w, bw)
     # the backward kernel holds two (tc, Mp, BW) f32 block streams (alpha
     # in, gamma out), each double-buffered: 4 live buffers + tables must
     # fit VMEM — _POST_BLOCK_MB caps each block (the original 1.75 MB cap
-    # left half of VMEM idle; columns-per-grid-step scales with it)
+    # left half of VMEM idle; columns-per-grid-step scales with it), and
+    # _post_block_w has already shrunk bw so the tc=8 floor fits
     tc = min(chunk_t,
              max(8, (int(_POST_BLOCK_MB * 2**20) // (mp * bw * 4))
                  // 8 * 8))

@@ -329,7 +329,8 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
              max(8, (int(_PTR_BLOCK_MB * 2**20) // (mp * bw * pbytes))
                  // 8 * 8))
     mp_out = mp
-    if grouped and _VO_NOSTORE:  # timing diagnostic: no omega stream
+    nostore = grouped and _VO_NOSTORE
+    if nostore:  # timing diagnostic: no omega stream, no backtrack
         tc, mp_out = min(chunk_t, 64), 8
 
     tok0 = tokens[:, 0]
@@ -383,6 +384,11 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
 
     last = jnp.argmax(omf[:m, :w], axis=0).astype(jnp.int32)  # (W,)
     n_real = rest.shape[1]
+    if nostore:
+        # forward-ceiling diagnostic: the omega stream was not written, so
+        # no backtrack is possible — return the final state broadcast over
+        # t (WRONG paths, timing only; see _VO_NOSTORE)
+        return jnp.broadcast_to(last[:, None], (w, t_len))
     last_p = jnp.zeros((1, wp), jnp.int32).at[0, :w].set(last)
     rev = lambda i, j: (i * 0 + n_j - 1 - j, i)  # noqa: E731
     rev3 = lambda i, j: (i * 0 + n_j - 1 - j, i * 0, i)  # noqa: E731

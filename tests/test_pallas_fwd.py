@@ -178,3 +178,51 @@ def test_fused_forward_multihot_matches_scan(m, parts):
         emission="multihot", table_parts=parts,
     )
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), atol=2e-4)
+
+
+def test_post_block_w_fits_vmem_budget():
+    """The posterior window block must shrink with mp so the backward
+    pass's 4 live (tc>=8, mp, bw) f32 buffers fit the VMEM budget — at
+    mp=136 the former default block_w=2048 demanded ~35 MB (ADVICE r3)."""
+    for mp in (32, 64, 136, 208, 512):
+        for block_w in (512, 2048, 4096):
+            bw = pallas_fwd._post_block_w(mp, 10**6, block_w)
+            assert bw >= 128 and bw % 128 == 0
+            assert 4 * 8 * mp * bw * 4 <= pallas_fwd._POST_TOTAL_MB * 2**20
+    # small models keep the full default block
+    assert pallas_fwd._post_block_w(32, 10**6, 2048) == 2048
+    # the M=133 flagship shrinks to 512
+    assert pallas_fwd._post_block_w(136, 10**6, 2048) == 512
+
+
+def test_fused_posterior_m133_default_block():
+    """mp=136 at the default block_w: the capped block must both compile
+    (interpret) and keep scan parity — the uncapped shape could not
+    allocate on hardware."""
+    a, bfull, pi = _random_model(133, seed=21)
+    rng = np.random.default_rng(22)
+    tokens = jnp.asarray(rng.integers(0, 625, size=(640, 5)), jnp.int32)
+    p_ref = np.asarray(decoders.posterior(a, bfull, pi, tokens))
+    p_ker = np.asarray(pallas_fwd.posterior_fused(
+        a, bfull, pi, tokens, interpret=True, table_parts=2, trans="split3",
+    ))
+    np.testing.assert_allclose(p_ker, p_ref, atol=1e-4)
+
+
+def test_posterior_fused_rejects_unknown_layout():
+    a, bfull, pi = _random_model(9, seed=17)
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    with pytest.raises(ValueError, match="layout"):
+        pallas_fwd.posterior_fused(a, bfull, pi, tokens, layout="wtm",
+                                   interpret=True)
+
+
+def test_fast_precision_env_opt_out(monkeypatch):
+    """ITRAILS_TPU_EXACT_DECODE=1 must route every fast dispatch (and so
+    the sharded/optimizer objective) to the bit-exact configuration."""
+    monkeypatch.delenv("ITRAILS_TPU_EXACT_DECODE", raising=False)
+    assert decoders._fast_precision() == {"table_parts": 2,
+                                          "trans": "split3"}
+    monkeypatch.setenv("ITRAILS_TPU_EXACT_DECODE", "1")
+    assert decoders._fast_precision() == {"table_parts": 3,
+                                          "trans": "highest"}
