@@ -85,6 +85,42 @@ def _space_autoperms(n: int):
     return (np.arange(n, dtype=np.int64),)
 
 
+def _group_apps(t_sel, local_prop, n_unions):
+    """Static grouping of a bucket's propagator applications by union.
+
+    The naive ``einsum("vs,vst->vt", y_sub, e_sub[local_prop])`` streams a
+    (n_apps, S, S) gathered propagator tensor — ~650 MB at 7x7, the
+    dominant chain cost.  Grouping the applications per union (padded to
+    power-of-two class sizes, <=2x row padding) turns it into per-class
+    (Ug, K, S) @ (Ug, S, S) batched matmuls that read each propagator
+    once.  Returns (classes, inv_pos): classes = [(union_ids (Ug,),
+    app_idx (Ug, K) padded with -1)], inv_pos (n_apps,) mapping each
+    application to its row in the concatenated class outputs."""
+    order = np.argsort(local_prop, kind="stable")
+    counts = np.bincount(local_prop, minlength=n_unions)
+    classes = {}
+    start = 0
+    for u in range(n_unions):
+        apps = order[start:start + counts[u]]
+        start += counts[u]
+        if counts[u] == 0:
+            continue
+        k = 1 << (int(counts[u]) - 1).bit_length()
+        classes.setdefault(k, []).append((u, apps))
+    cl_out = []
+    inv_pos = np.empty(local_prop.size, dtype=np.int64)
+    flat = 0
+    for k in sorted(classes):
+        uids = np.array([u for u, _ in classes[k]], dtype=np.int64)
+        app_idx = np.full((len(uids), k), -1, dtype=np.int64)
+        for i, (u, apps) in enumerate(classes[k]):
+            app_idx[i, : apps.size] = apps
+            inv_pos[apps] = flat + i * k + np.arange(apps.size)
+        flat += len(uids) * k
+        cl_out.append((uids, app_idx))
+    return cl_out, inv_pos
+
+
 def _precompute_vl(plan_steps, masks_np, q, dt):
     """Bucket structures + propagator exponentials for every Van Loan step,
     batched across ALL steps: one ``expm_batch`` per support-size class
@@ -163,35 +199,70 @@ def _run_chain(plan_steps, masks, p, expms, vl_ctx=None, masks_np=None):
     for s, step in enumerate(plan_steps):
         e = expms[s]
         new_p = p
-        # normal transitions: (P[parent] * m_start) @ E * m_end.  Children
-        # sharing (parent, m_start) — the start mask is a property of the
-        # parent key — share the masked matmul row, so dedup at trace time
-        # (static plan arrays) cuts the (rows, S) @ (S, S) from the child
-        # count to the live-parent count (28k -> 15.7k at 7x7; ~1.8x the
-        # dominant per-eval matmul flops)
+        # normal transitions: (P[parent] * m_start) @ E * m_end.  Two
+        # trace-time (static plan) reductions on the dominant matmul:
+        # 1. children sharing (parent, m_start) — the start mask is a
+        #    property of the parent key — share the row (28k -> 15.7k rows
+        #    at 7x7);
+        # 2. the row is zero outside the start class's support (masks are
+        #    0/1), so the contraction slices to (rows, |supp|) @
+        #    (|supp|, S) — mean support 31 of 203, cutting the flops ~67x.
+        #    Dropping exact zeros from a dot product is bit-exact.
         pairs = np.stack([step.parent, step.m_start], axis=1)
         upairs, inv = np.unique(pairs, axis=0, return_inverse=True)
-        x = p[upairs[:, 0]]
-        ms = jnp.where(
-            (upairs[:, 1] >= 0)[:, None],
-            masks[np.maximum(upairs[:, 1], 0)],
-            jnp.ones_like(x),
-        )
-        vals = ((x * ms) @ e)[inv] * masks[step.m_end]
+        if masks_np is not None:
+            zs, order = [], []
+            for c in np.unique(upairs[:, 1]):
+                rows = np.where(upairs[:, 1] == c)[0]
+                par = upairs[rows, 0]
+                if c < 0:
+                    zc = p[par] @ e
+                else:
+                    supp = np.where(masks_np[c] > 0)[0]
+                    zc = p[par][:, supp] @ e[supp, :]
+                zs.append(zc)
+                order.append(rows)
+            perm = np.concatenate(order)
+            invperm = np.empty(upairs.shape[0], dtype=np.int64)
+            invperm[perm] = np.arange(upairs.shape[0])
+            z = jnp.concatenate(zs, axis=0)
+            vals = z[invperm[inv]] * masks[step.m_end]
+        else:
+            x = p[upairs[:, 0]]
+            ms = jnp.where(
+                (upairs[:, 1] >= 0)[:, None],
+                masks[np.maximum(upairs[:, 1], 0)],
+                jnp.ones_like(x),
+            )
+            vals = ((x * ms) @ e)[inv] * masks[step.m_end]
         new_p = new_p.at[step.child].set(vals)
         if vl_ctx is not None and step.vl_parent.size:
             # multi-coalescence transitions via support-compressed
             # union-restricted propagators (see schedule.StepPlan docstring)
             n = q.shape[1]
             y = p[step.vl_parent] * masks[step.vl_m_start]
-            y_ext = jnp.pad(y, ((0, 0), (0, 1)))
+            # zero row (padded application slots) + zero col (padded
+            # support slots, index n)
+            y_pad = jnp.pad(y, ((0, 1), (0, 1)))
             n_v = step.vl_parent.size
             child_vals = jnp.zeros((n_v, n), p.dtype)
             for bi, (sup_idx, t_sel, local_prop) in enumerate(vl_buckets[s]):
                 e_sub = vl_expms[(s, bi)]  # (Ub, S, S)
+                # union-grouped application (see _group_apps): each
+                # propagator is read once instead of once per application
+                classes, inv_pos = _group_apps(t_sel, local_prop,
+                                               sup_idx.shape[0])
+                outs = []
+                for union_ids, app_idx in classes:
+                    glob = np.where(app_idx >= 0, t_sel[app_idx], n_v)
+                    cols = sup_idx[union_ids]  # (Ug, S)
+                    y_g = y_pad[glob[:, :, None], cols[:, None, :]]
+                    outs.append(
+                        jnp.einsum("uks,ust->ukt", y_g, e_sub[union_ids])
+                        .reshape(-1, sup_idx.shape[1])
+                    )
+                out_sub = jnp.concatenate(outs, axis=0)[inv_pos]  # (Vb, S)
                 rows = sup_idx[local_prop]  # (Vb, S)
-                y_sub = jnp.take_along_axis(y_ext[t_sel], rows, axis=1)
-                out_sub = jnp.einsum("vs,vst->vt", y_sub, e_sub[local_prop])
                 scat = (
                     jnp.zeros((len(t_sel), n + 1), p.dtype)
                     .at[jnp.arange(len(t_sel))[:, None], rows]
@@ -267,7 +338,8 @@ def joint_matrix(
     e_ab = expm_batch(q_ab[None] * dt_ab[:, None, None])
     p_ab = jnp.zeros((plan.ab_n_keys, sp2.n_states), dtype)
     p_ab = p_ab.at[0].set(pi_ab)
-    p_ab = _run_chain(plan.ab_steps, ab_masks, p_ab, e_ab)
+    p_ab = _run_chain(plan.ab_steps, ab_masks, p_ab, e_ab,
+                      masks_np=plan.ab_masks)
 
     # ---- combine with C, start ABC epoch ----
     pi_abc = jnp.einsum("ki,j,mij->km", p_ab, f_c, combine3)

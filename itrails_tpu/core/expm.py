@@ -73,23 +73,29 @@ def _expm_impl(a: jnp.ndarray) -> jnp.ndarray:
     scale = jnp.exp2(-s.astype(dtype))
     a = a * scale[..., None, None]
 
-    ident = jnp.broadcast_to(jnp.eye(n, dtype=dtype), a.shape)
+    # diagonal adds instead of materialised eye broadcasts: the (B, n, n)
+    # identity broadcasts were ~10% of the 7x7 build on CPU
+    diag = jnp.arange(n)
+
+    def add_diag(x, c):
+        return x.at[..., diag, diag].add(c)
+
     a2 = a @ a
     a4 = a2 @ a2
     a6 = a2 @ a4
-    u = a @ (
+    u = a @ add_diag(
         a6 @ (b[13] * a6 + b[11] * a4 + b[9] * a2)
         + b[7] * a6
         + b[5] * a4
-        + b[3] * a2
-        + b[1] * ident
+        + b[3] * a2,
+        b[1],
     )
-    v = (
+    v = add_diag(
         a6 @ (b[12] * a6 + b[10] * a4 + b[8] * a2)
         + b[6] * a6
         + b[4] * a4
-        + b[2] * a2
-        + b[0] * ident
+        + b[2] * a2,
+        b[0],
     )
     x = solve(v - u, v + u)
 

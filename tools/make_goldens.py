@@ -427,12 +427,14 @@ def _patch_best_model_float():
     ref_int_opt.update_best_model = patched
 
 
-def golden_trajectory(maxiter=40):
+def golden_trajectory(maxiter=40, n_int=(1, 2), tag="1x2",
+                      method="Nelder-Mead"):
     """Optimization-trajectory golden (BASELINE 'optimized parameters match'
     gate): run the reference optimizer objective (optimization_wrapper,
-    reference optimizer.py:396-583) under the same scipy Nelder-Mead call
-    as reference optimizer.py:620-637 — with a bounded maxiter — on the
-    synthetic MAF at 1x2, and record every history row."""
+    reference optimizer.py:396-583) under the same scipy call as reference
+    optimizer.py:620-637 — with a bounded maxiter — on the synthetic MAF,
+    and record every history row.  ``method`` may be "L-BFGS-B" (the
+    reference's other exposed method, finite-difference gradients)."""
     import tempfile
 
     from scipy.optimize import minimize
@@ -458,7 +460,7 @@ def golden_trajectory(maxiter=40):
         (0.1, 10.0),
         (74506.9385e-8, 7450693.8556e-8),
     ]
-    fixed = {"n_int_AB": 1, "n_int_ABC": 2}
+    fixed = {"n_int_AB": n_int[0], "n_int_ABC": n_int[1]}
     case = frozenset(["t_1"])
 
     _patch_best_model_float()
@@ -471,32 +473,40 @@ def golden_trajectory(maxiter=40):
             x0=np.asarray(optim_list, dtype=np.float64),
             args=(optim_variables, case, dict(fixed), V_lst, res_name,
                   {"Nfeval": 0, "time": time.time()}),
-            method="Nelder-Mead",
+            method=method,
             bounds=bounds,
             options={"maxiter": maxiter, "disp": True},
         )
         rows = np.loadtxt(
             os.path.join(tmp, "traj.optimization_history.csv"), delimiter=","
         )
+    name = f"traj_{tag}.npz"
     np.savez(
-        os.path.join(GOLDENS, "traj_1x2.npz"),
+        os.path.join(GOLDENS, name),
         variables=np.array(optim_variables),
         x0=np.asarray(optim_list),
         bounds=np.asarray(bounds),
         maxiter=maxiter,
+        n_int=np.asarray(n_int),
+        method=np.array(method),
         history_params=rows[:, 1:-2],
         history_loglik=rows[:, -2],
         final_x=np.asarray(res.x),
         final_fun=float(res.fun),
         n_eval=rows.shape[0],
     )
-    print(f"traj_1x2.npz written ({rows.shape[0]} evals, "
+    print(f"{name} written ({rows.shape[0]} evals, "
           f"{time.time()-t0:.1f}s)")
 
 
-def golden_int_trajectory(maxiter=10):
+def golden_int_trajectory(maxiter=10, four_param=False):
     """Same trajectory golden for the introgression family (reference
-    int_optimizer.py:397-588 objective under the scipy call of :625-651)."""
+    int_optimizer.py:397-588 objective under the scipy call of :625-651).
+
+    four_param=True optimizes (t_1, t_m, N_BC, m) — t_1 and t_m interact
+    through the migration case algebra (t_B = t_C = t_1 - t_m and the
+    t_out tail, reference int_optimizer.py:512-538), so this golden pins
+    the algebra the 2-param golden barely touches."""
     import tempfile
 
     from scipy.optimize import minimize
@@ -512,14 +522,25 @@ def golden_int_trajectory(maxiter=10):
     # optimize (t_1, m), everything else fixed; 'm' enters UNscaled (the
     # reference workflow's m*mu scaling is a documented bug we don't copy,
     # and the engine itself takes m as given)
-    optim_variables = ["t_1", "m"]
-    optim_list = [0.0024, 0.1]
-    bounds = [(0.00024, 0.024), (0.001, 0.99)]
-    fixed = {
-        "n_int_AB": 1, "n_int_ABC": 2,
-        "t_2": 0.0004, "t_m": 0.0008, "t_upper": 745069.3855e-8,
-        "N_AB": 0.0005, "N_BC": 0.0004, "N_ABC": 0.0005, "r": 1.0,
-    }
+    if four_param:
+        optim_variables = ["t_1", "t_m", "N_BC", "m"]
+        optim_list = [0.0024, 0.0008, 0.0004, 0.1]
+        bounds = [(0.00024, 0.024), (8e-05, 0.0023), (4e-05, 0.004),
+                  (0.001, 0.99)]
+        fixed = {
+            "n_int_AB": 1, "n_int_ABC": 2,
+            "t_2": 0.0004, "t_upper": 745069.3855e-8,
+            "N_AB": 0.0005, "N_ABC": 0.0005, "r": 1.0,
+        }
+    else:
+        optim_variables = ["t_1", "m"]
+        optim_list = [0.0024, 0.1]
+        bounds = [(0.00024, 0.024), (0.001, 0.99)]
+        fixed = {
+            "n_int_AB": 1, "n_int_ABC": 2,
+            "t_2": 0.0004, "t_m": 0.0008, "t_upper": 745069.3855e-8,
+            "N_AB": 0.0005, "N_BC": 0.0004, "N_ABC": 0.0005, "r": 1.0,
+        }
     case = frozenset(["t_1"])
 
     _patch_best_model_float()
@@ -545,8 +566,9 @@ def golden_int_trajectory(maxiter=10):
             )
         finally:
             os.chdir(cwd)
+    name = "int_traj_4p.npz" if four_param else "int_traj_1x2.npz"
     np.savez(
-        os.path.join(GOLDENS, "int_traj_1x2.npz"),
+        os.path.join(GOLDENS, name),
         variables=np.array(optim_variables),
         x0=np.asarray(optim_list),
         bounds=np.asarray(bounds),
@@ -557,7 +579,7 @@ def golden_int_trajectory(maxiter=10):
         final_fun=float(res.fun),
         n_eval=rows.shape[0],
     )
-    print(f"int_traj_1x2.npz written ({rows.shape[0]} evals, "
+    print(f"{name} written ({rows.shape[0]} evals, "
           f"{time.time()-t0:.1f}s)")
 
 
@@ -608,6 +630,13 @@ def main():
     if want("trajectory"):
         golden_trajectory(maxiter=25)
         golden_int_trajectory(maxiter=8)
+    if want("trajectory2"):
+        # round-4 deepened parity: bigger plain state space + longer run,
+        # migration case algebra with 4 free params, and the reference's
+        # other exposed method (L-BFGS-B, finite-difference gradients)
+        golden_trajectory(maxiter=50, n_int=(2, 2), tag="2x2")
+        golden_int_trajectory(maxiter=12, four_param=True)
+        golden_trajectory(maxiter=4, tag="lbfgs_1x2", method="L-BFGS-B")
     if want("model7x7"):
         # the 133-state flagship (BASELINE config 3); slow in the pure-
         # Python reference — run overnight-style
