@@ -49,19 +49,22 @@ _KB = 256  # unambiguous base-column count (multi-hot contraction width)
 # chunks — the kernels are instruction-issue bound, so VMEM is better
 # spent on window-block WIDTH than chunk depth (tools/exp_post_phases.py)
 _POST_BLOCK_MB = 2.0
-# hard VMEM ceiling for the posterior backward pass's 4 live (tc, Mp, BW)
-# f32 buffers (alpha in + gamma out, each double-buffered); ~16 MB/core
-# minus tables/one-hot scratch.  The window block shrinks (power-of-two)
-# until the tc=8 floor fits this total — without it, mp=136 at the
-# default block_w=2048 would demand ~35 MB and fail Mosaic allocation
-_POST_TOTAL_MB = 12.0
+# hard VMEM ceiling for the posterior backward pass's 6 live (tc, Mp, BW)
+# f32 buffers (alpha + forward-stored emissions in, gamma out, each
+# double-buffered); ~16 MB/core minus tables/one-hot scratch.  The window
+# block shrinks (power-of-two) until the tc=8 floor fits this total —
+# without it, mp=136 at the default block_w=2048 would demand ~50 MB and
+# fail Mosaic allocation
+_POST_TOTAL_MB = 13.0
+_POST_STREAMS = 6
 
 
 def _post_block_w(mp: int, w: int, block_w: int) -> int:
     """Window-block width for the posterior kernels: the requested
-    ``block_w`` capped so that four live (8, mp, bw) f32 pipeline buffers
-    fit ``_POST_TOTAL_MB`` (power-of-two cap keeps wp padding minimal)."""
-    cap = int(_POST_TOTAL_MB * 2**20) // (4 * 8 * mp * 4)
+    ``block_w`` capped so that ``_POST_STREAMS`` live (8, mp, bw) f32
+    pipeline buffers fit ``_POST_TOTAL_MB`` (power-of-two cap keeps wp
+    padding minimal)."""
+    cap = int(_POST_TOTAL_MB * 2**20) // (_POST_STREAMS * 8 * mp * 4)
     pow2 = 128
     while pow2 * 2 <= cap:
         pow2 *= 2
@@ -202,7 +205,7 @@ def _make_emission(multihot: bool, btcat, bw: int, mp: int, parts: int = 3):
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
             ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
             multihot: bool = False, parts: int = 3,
-            trans: str = "highest", al_all_ref=None):
+            trans: str = "highest", al_all_ref=None, e_all_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -229,6 +232,11 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
         acc = acc + jnp.where(pad, 0.0, jnp.log(snz))
         if al_all_ref is not None:
             al_all_ref[pl.ds(t, 1), :, :] = al[None]
+        if e_all_ref is not None:
+            # stored for the backward pass: rebuilding the (KP, BW)
+            # one-hot + emission matmul there was over half its
+            # instruction-issue cost (the kernels' bottleneck)
+            e_all_ref[pl.ds(t, 1), :, :] = e[None]
         return al, acc
 
     # int32 bounds keep the induction variable i32 under jax_enable_x64
@@ -388,32 +396,35 @@ def forward_loglik_fused(a, bfull, pi, tokens, **kw):
 
 
 def _kernel_alpha(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
-                  ll_ref, alf_ref, al_all_ref, al_s, acc_s, *,
+                  ll_ref, alf_ref, al_all_ref, e_all_ref, al_s, acc_s, *,
                   mp: int, chunk_t: int, parts: int = 3,
                   trans: str = "highest"):
     _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref, ll_ref, alf_ref,
             al_s, acc_s, mp=mp, chunk_t=chunk_t, al_all_ref=al_all_ref,
-            parts=parts, trans=trans)
+            e_all_ref=e_all_ref, parts=parts, trans=trans)
 
 
-def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
+def _bwd_kernel(tok_ref, al_ref, e_ref, at_ref, gam_ref, bef_ref, be_s,
                 *, mp: int, chunk_t: int, parts: int = 3,
                 trans: str = "highest"):
     """Reverse sweep: fused reference-convention backward recursion
     (beta'[j] = sum_i a[i, j] (e * beta)[i], decoders.backward NOTE) and
     posterior combine gamma_t = normalize(alpha_t * beta_t).  Scale factors
     of the Rabiner-normalised alpha and the per-step-normalised beta cancel
-    in the normalisation, so no logs are needed anywhere."""
+    in the normalisation, so no logs are needed anywhere.
+
+    Emission rows arrive pre-computed from the forward pass (e_ref):
+    rebuilding them here (one-hot iota compare + MXU matmul) was over half
+    of this kernel's instruction issue, the measured bottleneck
+    (tools/exp_post_phases.py); streaming them costs only HBM bandwidth,
+    which was <5% utilised.  Tokens are still streamed for the pad mask."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         be_s[:] = jnp.ones_like(be_s)
 
-    btcat = btcat_ref[:]
     at = at_ref[:]
-    bw = tok_ref.shape[1]
-    kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
     tr = _make_transition(trans, at, mp)
 
     def step(k, be):
@@ -424,9 +435,7 @@ def _bwd_kernel(tok_ref, al_ref, btcat_ref, at_ref, gam_ref, bef_ref, be_s,
         s = jnp.sum(g, axis=0, keepdims=True)
         gam_ref[pl.ds(t, 1), :, :] = (g / jnp.where(s > 0, s, 1.0))[None]
 
-        oh = (tok == kio).astype(jnp.bfloat16)
-        e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
-        e = _sum_parts(e2, mp, parts)
+        e = e_ref[t]  # (Mp, BW) forward-stored emission rows
         nx = tr(be * e)
         sn = jnp.sum(nx, axis=0, keepdims=True)
         nx = nx / jnp.where(sn > 0, sn, 1.0)
@@ -514,7 +523,7 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
     zi = lambda i, j: (i * 0, i)  # noqa: E731
     zz = lambda i, j: (i * 0, i * 0)  # noqa: E731
 
-    _ll, _alf, al_all = pl.pallas_call(
+    _ll, _alf, al_all, e_all = pl.pallas_call(
         functools.partial(_kernel_alpha, mp=mp, chunk_t=tc,
                           parts=table_parts, trans=trans),
         grid=grid,
@@ -532,10 +541,13 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, mp, bw), lambda i, j: (j, i * 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, mp, bw), lambda i, j: (j, i * 0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, wp), f32),
             jax.ShapeDtypeStruct((mp, wp), f32),
+            jax.ShapeDtypeStruct((tp, mp, wp), f32),
             jax.ShapeDtypeStruct((tp, mp, wp), f32),
         ],
         scratch_shapes=[
@@ -557,8 +569,7 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
         in_specs=[
             pl.BlockSpec((tc, bw), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((table_parts * mp, _KP), zz,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((atsub, mp), zz, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -571,7 +582,7 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
         ],
         scratch_shapes=[pltpu.VMEM((mp, bw), f32)],
         interpret=interpret,
-    )(tok_t, al_all, btcat, at)
+    )(tok_t, al_all, e_all, at)
 
     # column 0 on the XLA side: gamma_0 = normalize(al0 * be_0)
     g0 = al0_p[:m, :w] * be0[:m, :w]  # (M, W)

@@ -352,22 +352,38 @@ def optimizer(
             optim_variables, fixed_params, case, resolver
         )
 
-        def objective(arg_lst):
+        # Optimize in a per-variable scaled space z = x / s, s = |x0|:
+        # scipy's L-BFGS-B line search takes O(1)-norm first steps, which
+        # in raw coalescent units (t ~ 1e-3, m ~ 0.25, spanning 3 orders)
+        # either explodes past the bounds into the non-finite penalty
+        # region or stalls the Wolfe bracket entirely — the measured
+        # round-3 introgression "stall at x0" (GRADEVAL.json).  The exact
+        # gradient itself is correct (FD parity 4e-12,
+        # tests/test_grad.py::test_int_gradient_fd_parity); only the
+        # search geometry was broken.  z-space has z0 = 1 for every
+        # variable.  History/best-model/checkpoint all record x, never z.
+        scale = np.maximum(np.abs(np.asarray(optim_list, np.float64)),
+                           1e-30)
+
+        def objective(z):
+            arg_lst = np.asarray(z, np.float64) * scale
             ll, g = vg(arg_lst)
             _record(arg_lst, ll)
             if not (np.isfinite(ll) and np.all(np.isfinite(g))):
                 return _PENALTY, np.zeros_like(np.asarray(g))
-            return -ll, -g
+            return -ll, -np.asarray(g, np.float64) * scale
 
-        return minimize(
+        res = minimize(
             objective,
-            x0=np.asarray(optim_list, dtype=np.float64),
+            x0=np.asarray(optim_list, dtype=np.float64) / scale,
             method=method,
             jac=True,
-            bounds=bounds,
-            callback=_checkpoint,
+            bounds=[(lo / s, hi / s) for (lo, hi), s in zip(bounds, scale)],
+            callback=lambda zk: _checkpoint(np.asarray(zk) * scale),
             options={"maxiter": maxiter, "disp": True},
         )
+        res.x = np.asarray(res.x) * scale  # report in natural coordinates
+        return res
 
     def objective(arg_lst):
         d = dict(fixed_params)

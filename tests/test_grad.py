@@ -123,3 +123,82 @@ def test_optimizer_use_grad_smoke(tmp_path):
     assert np.isfinite(res.fun)
     hist = (tmp_path / "run.optimization_history.csv").read_text().splitlines()
     assert len(hist) > 1
+
+
+@pytest.mark.slow
+def test_int_gradient_fd_parity_at_stall_point():
+    """The round-3 introgression L-BFGS-B+grad run stalled at its start
+    point (GRADEVAL.json).  This pins that the exact gradient there is
+    CORRECT — central finite differences agree to ~1e-7 — so the stall was
+    a line-search geometry problem (unscaled variables), not a wrong or
+    discontinuous gradient at the t_1/t_m case boundary."""
+    from itrails_tpu.data.tokens import aggregation_matrix
+    from itrails_tpu.introgression.builder import build_model_introgression_fn
+    from itrails_tpu.optim.cases import resolve_times_introgression
+
+    fixed = {"n_int_AB": 3, "n_int_ABC": 3, "t_2": 0.0004, "t_m": 0.0008,
+             "t_upper": 745069.3855e-8, "N_AB": 0.0005, "N_BC": 0.0004,
+             "N_ABC": 0.0005, "r": 1.0}
+    variables = ["t_1", "m"]
+    x0 = np.array([0.0030, 0.25])  # the GRADEVAL stall point
+    build = build_model_introgression_fn(3, 3, "float64", device=None)
+    names = ["t_A", "t_B", "t_C", "t_2", "t_upper", "t_out", "t_m",
+             "N_AB", "N_BC", "N_ABC", "r", "m"]
+    agg = jnp.asarray(aggregation_matrix(), jnp.float64)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 625, size=(16, 512)), jnp.int32)
+
+    def f(vec):
+        d = dict(fixed)
+        for n, v in zip(variables, vec):
+            d[n] = v
+        d = resolve_times_introgression(frozenset(["t_1"]), d)
+        a, b, pi, _, _ = build(*[d[n] for n in names])
+        bfull = decoders.emission_table(b, agg)
+        return decoders.forward_loglik(a, bfull, pi, tokens)
+
+    ll, g = jax.value_and_grad(f)(jnp.asarray(x0))
+    assert np.isfinite(float(ll))
+    for i, h in ((0, 1e-7), (1, 1e-6)):
+        e = np.zeros(2)
+        e[i] = h
+        fd = (float(f(jnp.asarray(x0 + e)))
+              - float(f(jnp.asarray(x0 - e)))) / (2 * h)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=5e-6)
+
+
+def test_use_grad_scaled_space_handles_disparate_magnitudes(tmp_path):
+    """The grad path optimizes in z = x/|x0| so t-scale (1e-3) and
+    proportion-scale (0.25) variables see O(1) line-search steps; the
+    optimizer must actually move off a start point whose gradient spans
+    5 orders of magnitude (the round-3 stall mode), and report results in
+    natural coordinates."""
+    from itrails_tpu.optim.optimizer import optimizer
+
+    rng = np.random.default_rng(9)
+    v_lst = [rng.integers(0, 625, size=200).astype(np.int64)]
+    res = optimizer(
+        optim_variables=["t_1", "m"],
+        optim_list=[0.0030, 0.25],
+        bounds=[(0.00024, 0.024), (0.001, 0.99)],
+        fixed_params={"n_int_AB": 1, "n_int_ABC": 2, "t_2": 0.0004,
+                      "t_m": 0.0008, "t_upper": 745069.3855e-8,
+                      "N_AB": 0.0005, "N_BC": 0.0004, "N_ABC": 0.0005,
+                      "r": 1.0},
+        v_lst=v_lst,
+        res_name=str(tmp_path / "run"),
+        case=frozenset(["t_1"]),
+        method="L-BFGS-B",
+        maxiter=6,
+        use_grad=True,
+        introgression=True,
+    )
+    # natural coordinates (not z-space ~1.0), inside bounds
+    assert 0.00024 <= res.x[0] <= 0.024
+    assert 0.001 <= res.x[1] <= 0.99
+    hist = np.loadtxt(tmp_path / "run_optimization_history.csv",
+                      delimiter=",", skiprows=1, ndmin=2)
+    # history records natural coordinates too
+    assert hist[0, 1] == pytest.approx(0.0030, rel=1e-9)
+    # the optimizer moved off the start point (the round-3 stall symptom)
+    assert np.abs(hist[:, 1] - 0.0030).max() > 1e-6
