@@ -154,16 +154,17 @@ def main():
         evs.append(time.time() - t0)
     optimizer_eval_s = float(np.median(evs))
 
-    # secondary decoders on a (2048, win_len) slice (posterior stores
-    # (T, M, W) alphas+gammas on-device, ~4.3 GB at this shape — inside
-    # HBM, and wide enough for the full 2048-lane kernel window blocks)
-    wd = min(2048, n_windows)
-    dec_tokens = [b[:wd] for b in bufs]
+    # secondary decoders: posterior on the full 4096-window batch (its
+    # kernels scale with window-block WIDTH; alpha+emission+gamma streams
+    # are ~12.9 GB at (4096, 8192) f32 — inside HBM), viterbi on a
+    # 2048-window slice
+    extras = {}
     vit = jax.jit(lambda a, bf, pi, t: decoders.viterbi_fast(a, bf, pi, t)[:, -1].sum())
     post = jax.jit(lambda a, bf, pi, t: decoders.posterior_fast(a, bf, pi, t)[-1].sum())
-    extras = {}
-    for name, fn in (("viterbi", vit), ("posterior", post)):
+    for name, fn, wd in (("viterbi", vit, min(2048, n_windows)),
+                         ("posterior", post, min(4096, n_windows))):
         try:
+            dec_tokens = [b[:wd] for b in bufs]
             float(fn(a, bfull, pi, dec_tokens[0]))
             ts = []
             for tkn in dec_tokens[1:]:
@@ -176,11 +177,12 @@ def main():
                                              round(rates[-1], 1)]
         except Exception as e:  # secondary metric must not kill the bench
             extras[f"{name}_mcols_per_s"] = f"error: {type(e).__name__}"
+        del dec_tokens
 
-    # free the M=27 batches before the flagship section: the W=2048
+    # free the M=27 batches before the flagship section: the W=4096
     # posterior above holds multi-GB alpha/gamma allocations and the
     # leftover HBM pressure was measured to slow the m133 posterior ~6x
-    del bufs, dec_tokens, vit, post
+    del bufs, vit, post
 
     # flagship 7x7 config (BASELINE config 3: 133 hidden states)
     try:
@@ -227,7 +229,7 @@ def main():
         shapes = {
             "m133_fwd": (2048, 8192) if platform != "cpu" else (8, 512),
             "m133_viterbi": (1024, 8192) if platform != "cpu" else (8, 512),
-            "m133_posterior": (512, 4096) if platform != "cpu" else (8, 512),
+            "m133_posterior": (1024, 4096) if platform != "cpu" else (8, 512),
         }
         for name, fn in (
             ("m133_fwd", lambda a_, b_, p_, t_: decoders.forward_loglik_fast(

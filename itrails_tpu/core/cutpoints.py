@@ -18,8 +18,14 @@ def cutpoints_ab(n_int_AB: int, t_AB, coal_AB, dtype=jnp.float64):
     [0, t_AB] (reference cutpoints.py:5-28).  Shape (n_int_AB + 1,);
     first entry 0, last exactly t_AB."""
     q = jnp.arange(n_int_AB + 1, dtype=dtype) / n_int_AB
-    mass = 1.0 - jnp.exp(-coal_AB * t_AB)
-    return -jnp.log1p(-q * mass) / coal_AB
+    # -expm1 keeps the truncation mass below 1.0 in f64; with the naive
+    # 1 - exp(-a) form, coal*t > ~36.7 rounds the mass to exactly 1 and
+    # the last cutpoint overflows to inf (observed mid-optimization at an
+    # N_AB bound corner — reference scipy truncexpon.ppf is exact there)
+    mass = -jnp.expm1(-coal_AB * t_AB)
+    cut = -jnp.log1p(-q * mass) / coal_AB
+    # quantile 1 of the truncated distribution IS the truncation point
+    return cut.at[-1].set(jnp.asarray(t_AB, dtype))
 
 
 def cutpoints_abc(n_int_ABC: int, coal_ABC, dtype=jnp.float64):

@@ -57,14 +57,24 @@ _POST_BLOCK_MB = 2.0
 # fail Mosaic allocation
 _POST_TOTAL_MB = 13.0
 _POST_STREAMS = 6
+# time-chunk floor: tc below 8 is legal (the tiled dims of a 3-D block
+# are the last two) and the kernels are instruction-issue bound, so a
+# WIDER window block at a shallower chunk is a net win
+_POST_TC_MIN = 4
+# integer type of the one-hot iota compare.  int16 would pack 2-per-lane,
+# but v5e Mosaic supports neither 16-bit iota ("16-bit iota not supported
+# by hardware") nor 16-bit cmpi ("Target does not support this
+# comparison") — measured on-chip, so the compare stays i32
+_OH_ITYPE = jnp.int32
 
 
 def _post_block_w(mp: int, w: int, block_w: int) -> int:
     """Window-block width for the posterior kernels: the requested
-    ``block_w`` capped so that ``_POST_STREAMS`` live (8, mp, bw) f32
+    ``block_w`` capped so that ``_POST_STREAMS`` live (tc_min, mp, bw) f32
     pipeline buffers fit ``_POST_TOTAL_MB`` (power-of-two cap keeps wp
     padding minimal)."""
-    cap = int(_POST_TOTAL_MB * 2**20) // (_POST_STREAMS * 8 * mp * 4)
+    cap = (int(_POST_TOTAL_MB * 2**20)
+           // (_POST_STREAMS * _POST_TC_MIN * mp * 4))
     pow2 = 128
     while pow2 * 2 <= cap:
         pow2 *= 2
@@ -115,6 +125,16 @@ def _sum_parts(e2, mp: int, parts: int):
     for k in range(1, parts):
         out = out + e2[k * mp:(k + 1) * mp]
     return out
+
+
+def _tok_slice(tok_ref, t):
+    """(1, BW) token row at chunk-local step ``t``.  The posterior path
+    streams tokens as (tc, 1, BW) blocks — a 2-D (tc, BW) block would pin
+    tc to a multiple of 8, and the posterior kernels run tc=4 to afford
+    wider window blocks."""
+    if tok_ref.ndim == 3:
+        return tok_ref[pl.ds(t, 1), 0, :]
+    return tok_ref[pl.ds(t, 1), :]
 
 
 def split2_bf16_2d(x):
@@ -192,10 +212,11 @@ def _make_emission(multihot: bool, btcat, bw: int, mp: int, parts: int = 3):
             e2 = jnp.dot(btcat, q, preferred_element_type=jnp.float32)
             return _sum_parts(e2, mp, parts)
     else:
-        kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
+        kio = jax.lax.broadcasted_iota(_OH_ITYPE, (_KP, bw), 0)
 
         def em(tok):
-            oh = (tok == kio).astype(jnp.bfloat16)  # (KP, BW)
+            # the (KP, BW) compare is the kernels' single largest VPU cost
+            oh = (tok.astype(_OH_ITYPE) == kio).astype(jnp.bfloat16)
             e2 = jnp.dot(btcat, oh, preferred_element_type=jnp.float32)
             return _sum_parts(e2, mp, parts)
 
@@ -205,7 +226,8 @@ def _make_emission(multihot: bool, btcat, bw: int, mp: int, parts: int = 3):
 def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
             ll_ref, alf_ref, al_s, acc_s, *, mp: int, chunk_t: int,
             multihot: bool = False, parts: int = 3,
-            trans: str = "highest", al_all_ref=None, e_all_ref=None):
+            trans: str = "highest", al_all_ref=None, e_all_ref=None,
+            need_ll: bool = True):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -222,14 +244,18 @@ def _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
 
     def step(t, carry):
         al, acc = carry
-        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        tok = _tok_slice(tok_ref, t)  # (1, BW)
         e = em(tok)  # (Mp, BW) f32 emission rows
         nx = tr(al) * e
         s = jnp.sum(nx, axis=0, keepdims=True)  # (1, BW)
         pad = tok == PAD_TOKEN
         snz = jnp.where(pad, 1.0, s)
         al = jnp.where(pad, al, nx / snz)
-        acc = acc + jnp.where(pad, 0.0, jnp.log(snz))
+        if need_ll:
+            # the per-step log is only needed for the loglik output; the
+            # posterior path (gammas normalise per column, scale factors
+            # cancel) skips the transcendental
+            acc = acc + jnp.where(pad, 0.0, jnp.log(snz))
         if al_all_ref is not None:
             al_all_ref[pl.ds(t, 1), :, :] = al[None]
         if e_all_ref is not None:
@@ -398,10 +424,10 @@ def forward_loglik_fused(a, bfull, pi, tokens, **kw):
 def _kernel_alpha(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,
                   ll_ref, alf_ref, al_all_ref, e_all_ref, al_s, acc_s, *,
                   mp: int, chunk_t: int, parts: int = 3,
-                  trans: str = "highest"):
+                  trans: str = "highest", need_ll: bool = True):
     _kernel(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref, ll_ref, alf_ref,
             al_s, acc_s, mp=mp, chunk_t=chunk_t, al_all_ref=al_all_ref,
-            e_all_ref=e_all_ref, parts=parts, trans=trans)
+            e_all_ref=e_all_ref, parts=parts, trans=trans, need_ll=need_ll)
 
 
 def _bwd_kernel(tok_ref, al_ref, e_ref, at_ref, gam_ref, bef_ref, be_s,
@@ -429,7 +455,7 @@ def _bwd_kernel(tok_ref, al_ref, e_ref, at_ref, gam_ref, bef_ref, be_s,
 
     def step(k, be):
         t = chunk_t - 1 - k
-        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        tok = _tok_slice(tok_ref, t)  # (1, BW)
         al_t = al_ref[t]  # (Mp, BW)
         g = al_t * be
         s = jnp.sum(g, axis=0, keepdims=True)
@@ -454,7 +480,7 @@ def _bwd_kernel(tok_ref, al_ref, e_ref, at_ref, gam_ref, bef_ref, be_s,
     jax.jit, static_argnames=("block_w", "chunk_t", "interpret",
                               "table_parts", "trans", "layout")
 )
-def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
+def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
                     chunk_t: int = 128, interpret: bool = False,
                     table_parts: int = 3, trans: str = "highest",
                     layout: str = "twm"):
@@ -500,8 +526,9 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
     # left half of VMEM idle; columns-per-grid-step scales with it), and
     # _post_block_w has already shrunk bw so the tc=8 floor fits
     tc = min(chunk_t,
-             max(8, (int(_POST_BLOCK_MB * 2**20) // (mp * bw * 4))
-                 // 8 * 8))
+             max(_POST_TC_MIN,
+                 (int(_POST_BLOCK_MB * 2**20) // (mp * bw * 4))
+                 // _POST_TC_MIN * _POST_TC_MIN))
 
     tok0 = tokens[:, 0]
     e0 = bt[:m, :_K].T[jnp.maximum(tok0, 0)]
@@ -517,6 +544,7 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
     tp = max(_round_up(rest.shape[1], tc), tc)
     tok_t = jnp.full((tp, wp), PAD_TOKEN, jnp.int32)
     tok_t = tok_t.at[: rest.shape[1], :w].set(rest.T.astype(jnp.int32))
+    tok_t = tok_t[:, None, :]  # (tp, 1, wp): see _tok_slice
 
     grid = (wp // bw, tp // tc)
     n_j = tp // tc
@@ -525,10 +553,11 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
 
     _ll, _alf, al_all, e_all = pl.pallas_call(
         functools.partial(_kernel_alpha, mp=mp, chunk_t=tc,
-                          parts=table_parts, trans=trans),
+                          parts=table_parts, trans=trans,
+                          need_ll=(layout == "fwdonly")),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tc, bw), lambda i, j: (j, i),
+            pl.BlockSpec((tc, 1, bw), lambda i, j: (j, i * 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
@@ -567,7 +596,7 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
                           parts=table_parts, trans=trans),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tc, bw), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, 1, bw), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((atsub, mp), zz, memory_space=pltpu.VMEM),

@@ -188,11 +188,12 @@ def test_post_block_w_fits_vmem_budget():
         for block_w in (512, 2048, 4096):
             bw = pallas_fwd._post_block_w(mp, 10**6, block_w)
             assert bw >= 128 and bw % 128 == 0
-            assert 4 * 8 * mp * bw * 4 <= pallas_fwd._POST_TOTAL_MB * 2**20
+            assert (pallas_fwd._POST_STREAMS * pallas_fwd._POST_TC_MIN
+                    * mp * bw * 4) <= pallas_fwd._POST_TOTAL_MB * 2**20
     # small models keep the full default block
-    assert pallas_fwd._post_block_w(32, 10**6, 2048) == 2048
-    # the M=133 flagship shrinks to 512
-    assert pallas_fwd._post_block_w(136, 10**6, 2048) == 512
+    assert pallas_fwd._post_block_w(32, 10**6, 4096) == 4096
+    # the M=133 flagship shrinks to 1024
+    assert pallas_fwd._post_block_w(136, 10**6, 4096) == 1024
 
 
 def test_fused_posterior_m133_default_block():
