@@ -209,15 +209,37 @@ def viterbi(a, bfull, pi, tokens):
 
     Padded steps repeat the last real state; mask with
     ``tokens != PAD_TOKEN`` when consuming.
-    """
-    log_a = jnp.log(a)
-    omega0 = jnp.log(pi[None, :] * _gather_emis(bfull, tokens[:, 0]))
+
+    The recursion mirrors the fused kernel (hmm.pallas_viterbi) operation
+    for operation — log-probabilities clamped at -1e4 (never -inf), omega
+    rescaled by its per-window max every step (f32 stability for
+    unbounded T), and the argmax over PRE-emission scores (the
+    source-independent emission term cannot change the true argmax, and
+    max_i fl(s_i) + e == max_i fl(s_i + e) by monotonicity) — so the
+    scan and the kernel take bit-identical decisions even at f32
+    rounding-tie margins.  In f64 on real models this is the reference
+    max-plus recursion (optimizer.py:305-333) exactly: rescaling shifts
+    all scores per window and never changes an argmax at real-model
+    margins."""
+    neg = jnp.asarray(-1e4, bfull.dtype)
+    log_clip = lambda x: jnp.maximum(  # noqa: E731
+        jnp.log(jnp.maximum(x, jnp.zeros_like(x))), neg
+    )
+    log_a = log_clip(a)
+    logb = log_clip(bfull)
+
+    def loge(tok):
+        e = logb.T[jnp.maximum(tok, 0)]  # (W, M)
+        return jnp.where((tok == PAD_TOKEN)[:, None], jnp.zeros_like(e), e)
+
+    omega0 = log_clip(pi)[None, :] + loge(tokens[:, 0])
+    omega0 = omega0 - jnp.max(omega0, axis=1, keepdims=True)
 
     def fwd(omega, tok):
-        e = jnp.log(_gather_emis(bfull, tok))  # (W, M)
-        scores = omega[:, :, None] + log_a[None, :, :] + e[:, None, :]
+        scores = omega[:, :, None] + log_a[None, :, :]
         ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)  # (W, M)
-        new = jnp.max(scores, axis=1)
+        new = jnp.max(scores, axis=1) + loge(tok)
+        new = new - jnp.max(new, axis=1, keepdims=True)
         pad = (tok == PAD_TOKEN)[:, None]
         new = jnp.where(pad, omega, new)
         # padded steps: identity backpointer

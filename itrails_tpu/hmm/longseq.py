@@ -341,9 +341,11 @@ def viterbi_long(a, bfull, pi, tokens, chunk: int = 256):
 
     def rec_step(omega, t_col):
         e = log_b[jnp.maximum(t_col, 0)]
-        scores = omega[:, :, None] + log_a[None] + e[:, None, :]
+        # pre-emission argmax: keeps f32 tie-breaks bit-identical to
+        # decoders.viterbi and the fused kernels (see decoders.viterbi)
+        scores = omega[:, :, None] + log_a[None]
         ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        new = jnp.max(scores, axis=1)
+        new = jnp.max(scores, axis=1) + e
         pad = (t_col == PAD_TOKEN)[:, None]
         ident = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], ptr.shape)
         return (
@@ -416,9 +418,11 @@ def _viterbi_seg_ptrs(log_a, log_b, omega_in, tok, *, chunk: int):
 
     def rec_step(omega, t_col):
         e = log_b[jnp.maximum(t_col, 0)]
-        scores = omega[:, :, None] + log_a[None] + e[:, None, :]
+        # pre-emission argmax: keeps f32 tie-breaks bit-identical to
+        # decoders.viterbi and the fused kernels (see decoders.viterbi)
+        scores = omega[:, :, None] + log_a[None]
         ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        new = jnp.max(scores, axis=1)
+        new = jnp.max(scores, axis=1) + e
         pad = (t_col == PAD_TOKEN)[:, None]
         ident = jnp.broadcast_to(
             jnp.arange(m, dtype=jnp.int32)[None, :], ptr.shape

@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from itrails_tpu.data.tokens import PAD_TOKEN
-from itrails_tpu.hmm.pallas_fwd import split_bf16
+from itrails_tpu.hmm.pallas_fwd import _tok_slice, split_bf16
 
 __all__ = ["viterbi_fused", "supported"]
 
@@ -157,7 +157,7 @@ def _fwd_kernel_vo(tok_ref, om0_ref, logbt_ref, latt_ref, om_all_ref,
         om_s[:] = om0_ref[:]
 
     logbt = logbt_ref[:]  # (3Mp, KP) bf16 hi/mid/lo log-emission
-    bw = tok_ref.shape[1]
+    bw = tok_ref.shape[-1]
     kio = jax.lax.broadcasted_iota(jnp.int32, (_KP, bw), 0)
     gsz = 8  # source-state group size
 
@@ -203,7 +203,7 @@ def _fwd_kernel_vo(tok_ref, om0_ref, logbt_ref, latt_ref, om_all_ref,
                                      group, mx0)
 
     def step(t, om):
-        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        tok = _tok_slice(tok_ref, t)  # (1, BW)
         if not _VO_NOSTORE:
             om_all_ref[pl.ds(t, 1), :, :] = om[None]  # omega ENTERING t
         oh = (tok == kio).astype(jnp.bfloat16)
@@ -238,12 +238,12 @@ def _bwd_kernel_vo(tok_ref, om_all_ref, latt3_ref, st0_ref, path_ref, st_s,
         st_s[:] = st0_ref[:]
 
     latt3 = latt3_ref[:]  # (3Mp, Mp) bf16: split of lat.T (dest on lanes)
-    bw = path_ref.shape[1]
+    bw = path_ref.shape[-1]
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, bw), 0)
 
     def step(k, st):
         t = chunk_t - 1 - k
-        tok = tok_ref[pl.ds(t, 1), :]  # (1, BW)
+        tok = _tok_slice(tok_ref, t)  # (1, BW)
         ohj = (st == sub_ids).astype(jnp.bfloat16)  # (Mp, BW) dest one-hot
         s2 = jnp.dot(latt3, ohj, preferred_element_type=jnp.float32)
         sel = s2[:mp] + s2[mp:2 * mp] + s2[2 * mp:]  # lat[st_w, i] per lane
@@ -254,7 +254,7 @@ def _bwd_kernel_vo(tok_ref, om_all_ref, latt3_ref, st0_ref, path_ref, st_s,
             keepdims=True,
         )
         prev = jnp.where(tok == PAD_TOKEN, st, prev)
-        path_ref[pl.ds(t, 1), :] = prev
+        path_ref[pl.ds(t, 1), 0, :] = prev
         return prev
 
     st = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk_t), step, st_s[:])
@@ -290,7 +290,7 @@ def _bwd_kernel(ptr_ref, st0_ref, path_ref, st_s, *, mp: int, chunk_t: int):
 @functools.partial(
     jax.jit, static_argnames=("block_w", "chunk_t", "interpret")
 )
-def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
+def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
                   chunk_t: int = 128, interpret: bool = False):
     """Most-probable state path per window, (W, T) int32 (same contract as
     decoders.viterbi: padded steps repeat the last real state)."""
@@ -312,6 +312,11 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     # recompute (grouped fori_loop, bounded liveness, wide window block).
     grouped = mp > 64
     if grouped:
+        # (round 4 tried widening to 2048 lanes at tc=4 — the 3-D
+        # token/path blocks make sub-8 chunks legal — but Mosaic refuses
+        # the 2048-lane compile and 1024 at tc=4 measured no faster than
+        # tc=8: the dense max-plus is VPU-op bound, per
+        # tools/exp_viterbi_census.py, so width does not help here)
         bw_cap = 1024
         pdt, pbytes = jnp.float32, 4  # stores f32 omegas, not pointers
     else:
@@ -344,6 +349,8 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
     tp = max(_round_up(rest.shape[1], tc), tc)
     tok_t = jnp.full((tp, wp), PAD_TOKEN, jnp.int32)
     tok_t = tok_t.at[: rest.shape[1], :w].set(rest.T.astype(jnp.int32))
+    if grouped:
+        tok_t = tok_t[:, None, :]  # (tp, 1, wp): tc=4 needs 3-D blocks
 
     grid = (wp // bw, tp // tc)
     n_j = tp // tc
@@ -359,12 +366,16 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
         fwd = functools.partial(_fwd_kernel, mp=mp, chunk_t=tc)
         fwd_inputs = (tok_t, om0_p, logbt_cat, lat)
         fwd_scratch = [pltpu.VMEM((mp, bw), f32)]
+    tok_spec = (pl.BlockSpec((tc, 1, bw), lambda i, j: (j, i * 0, i),
+                             memory_space=pltpu.VMEM)
+                if grouped else
+                pl.BlockSpec((tc, bw), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM))
     ptrs, omf = pl.pallas_call(
         fwd,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tc, bw), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
+            tok_spec,
             pl.BlockSpec((mp, bw), zi, memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * mp, _KP), zz, memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, mp), zz, memory_space=pltpu.VMEM),
@@ -399,17 +410,17 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 1024,
             functools.partial(_bwd_kernel_vo, mp=mp, chunk_t=tc),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tc, bw), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tc, 1, bw), rev3, memory_space=pltpu.VMEM),
                 pl.BlockSpec((tc, mp, bw), rev3, memory_space=pltpu.VMEM),
                 pl.BlockSpec((3 * mp, mp), zz, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bw), zi, memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tc, bw), revp,
+            out_specs=pl.BlockSpec((tc, 1, bw), rev3,
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((tp, wp), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((tp, 1, wp), jnp.int32),
             scratch_shapes=[pltpu.VMEM((1, bw), jnp.int32)],
             interpret=interpret,
-        )(tok_t, ptrs, latt3, last_p)
+        )(tok_t, ptrs, latt3, last_p)[:, 0, :]
     else:
         path = pl.pallas_call(
             functools.partial(_bwd_kernel, mp=mp, chunk_t=tc),

@@ -365,12 +365,26 @@ def optimizer(
         scale = np.maximum(np.abs(np.asarray(optim_list, np.float64)),
                            1e-30)
 
+        # Non-finite builds (e.g. introgression t_1 < t_m gives negative
+        # branch lengths) need a SOFT, sloped penalty here: a flat 1e12
+        # cliff with zero gradient makes scipy's quadratic line-search
+        # interpolation collapse the next trial step below the decode's
+        # f32 value noise, aborting the whole run at its start point (the
+        # measured round-3/round-4 introgression stall).  A quadratic bowl
+        # anchored at the start point keeps the penalty within ~10x of
+        # real objective magnitudes and always slopes back toward
+        # feasibility.
+        _PENALTY_SOFT = 1e7
+
         def objective(z):
-            arg_lst = np.asarray(z, np.float64) * scale
+            z = np.asarray(z, np.float64)
+            arg_lst = z * scale
             ll, g = vg(arg_lst)
             _record(arg_lst, ll)
             if not (np.isfinite(ll) and np.all(np.isfinite(g))):
-                return _PENALTY, np.zeros_like(np.asarray(g))
+                dz = z - 1.0  # start point is all-ones in z-space
+                return (_PENALTY_SOFT * (1.0 + float(dz @ dz)),
+                        2.0 * _PENALTY_SOFT * dz)
             return -ll, -np.asarray(g, np.float64) * scale
 
         res = minimize(

@@ -115,15 +115,35 @@ def main():
             run("L-BFGS-B", True, v_lst, os.path.join(tmp, "ilb"),
                 maxiter=80, introgression=True),
         ]
+    # wall-clock to convergence (reach best-1 loglik), computed per family
+    summary = {}
+    for fam in ("plain", "introgression"):
+        fam_rows = [r for r in rows if r["family"] == fam]
+        for r in fam_rows:
+            r["wall_to_best_minus_1_s"] = round(
+                r["s_per_eval"] * r["evals_to_best_minus_1"], 2
+            )
+        nm = next(r for r in fam_rows if "grad" not in r["method"])
+        gr = next(r for r in fam_rows if "grad" in r["method"])
+        summary[fam] = {
+            "nm_wall_to_conv_s": nm["wall_to_best_minus_1_s"],
+            "grad_wall_to_conv_s": gr["wall_to_best_minus_1_s"],
+            "grad_speedup": round(
+                nm["wall_to_best_minus_1_s"]
+                / max(gr["wall_to_best_minus_1_s"], 1e-9), 2
+            ),
+            "grad_matches_or_beats_nm_loglik": bool(
+                gr["best_loglik"] >= nm["best_loglik"] - 1.0
+            ),
+        }
     out = {
         "conclusion": (
-            "Nelder-Mead stays the default: the exact-gradient L-BFGS-B "
-            "path needs ~4x fewer evaluations but each evaluation costs "
-            "~12x more wall-clock on this host — the decode VJP is fast "
-            "on the TPU, but the chained f64 model-build VJP (Frechet "
-            "2n-block expms) runs on the 2 host cores and dominates.  On "
-            "a many-core host the trade flips; recorded per VERDICT r2 "
-            "item 6."
+            "wall-clock to convergence (time to reach within 1 loglik "
+            "unit of each run's best), exact-gradient L-BFGS-B vs "
+            f"Nelder-Mead: {json.dumps(summary)}.  Round-4 changes: "
+            "scaled search space (z = x/|x0|), direct Pade-13 Frechet "
+            "expm VJP, and the orbit/support-sliced build halving the "
+            "host-side VJP cost."
         ),
         "config": "BASELINE config 2 shape: 256 x 4096 = 1.05 Mcol simulated "
                   "alignment, 3x3 model, 6 free parameters, common start",

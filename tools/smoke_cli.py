@@ -107,7 +107,16 @@ def main():
             assert os.path.exists(path), path
             rows = list(csv.reader(open(path)))
             assert len(rows) > 1, path
-    print(f"ALL SIX CLIs OK ({work})")
+        # chained pipeline (reference README.md:30-40): the optimize run's
+        # best_model.yaml IS the decode config, fed unmodified
+        p_chain = os.path.join(out, "chain")
+        run(f"itrails_tpu.cli.{fam}viterbi", best,
+            ["--output", p_chain])
+        run(f"itrails_tpu.cli.{fam}posterior", best,
+            ["--output", p_chain])
+        for path in (f"{p_chain}.viterbi.csv", f"{p_chain}.posterior.csv"):
+            assert os.path.exists(path), path
+    print(f"ALL SIX CLIs OK, chained best-model decode OK ({work})")
 
 
 if __name__ == "__main__":
