@@ -55,7 +55,11 @@ _POST_BLOCK_MB = 2.0
 # block shrinks (power-of-two) until the tc=8 floor fits this total —
 # without it, mp=136 at the default block_w=2048 would demand ~50 MB and
 # fail Mosaic allocation
-_POST_TOTAL_MB = 13.0
+# 13.0 let mp=136 pick 1024-lane blocks (13.4 MB of stream buffers) and
+# the Mosaic compile helper crashed without a diagnostic; 12.0 keeps
+# mp=136 at the proven 512-lane block and mp<=64 at 4096 (12.58 MB,
+# compiles and runs at 416 Mcol/s)
+_POST_TOTAL_MB = 12.0
 _POST_STREAMS = 6
 # time-chunk floor: tc below 8 is legal (the tiled dims of a 3-D block
 # are the last two) and the kernels are instruction-issue bound, so a
