@@ -63,8 +63,9 @@ _POST_TOTAL_MB = 12.0
 _POST_STREAMS = 6
 # time-chunk floor: tc below 8 is legal (the tiled dims of a 3-D block
 # are the last two) and the kernels are instruction-issue bound, so a
-# WIDER window block at a shallower chunk is a net win
-_POST_TC_MIN = 4
+# WIDER window block at a shallower chunk is a net win — tc=2 lets the
+# M=133 posterior run 1024-lane blocks (51.5 -> 71.8 Mcol/s measured)
+_POST_TC_MIN = 2
 # integer type of the one-hot iota compare.  int16 would pack 2-per-lane,
 # but v5e Mosaic supports neither 16-bit iota ("16-bit iota not supported
 # by hardware") nor 16-bit cmpi ("Target does not support this

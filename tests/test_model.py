@@ -60,3 +60,21 @@ def test_model_invariants():
     np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-9)
     np.testing.assert_allclose(b.sum(1), 1.0, atol=1e-8)
     assert (b >= -1e-15).all()
+
+
+def test_cutpoints_ab_extreme_truncation_stays_finite():
+    """coal*t > ~37 rounds the naive truncation mass 1 - exp(-a) to
+    exactly 1.0 in f64 and the last quantile overflows to inf (hit
+    mid-optimization at an N_AB bound corner by the 2x2 trajectory
+    golden); the expm1 form plus the exact endpoint must stay finite with
+    the last cutpoint exactly t_AB."""
+    import jax.numpy as jnp
+
+    from itrails_tpu.core.cutpoints import cutpoints_ab
+
+    for coal, t_ab in ((15.7, 2.43), (50.0, 5.0), (1000.0, 1.0)):
+        cut = np.asarray(cutpoints_ab(4, t_ab, coal, jnp.float64))
+        assert np.isfinite(cut).all(), (coal, t_ab, cut)
+        assert cut[0] == 0.0
+        assert cut[-1] == t_ab
+        assert (np.diff(cut) > 0).all()

@@ -192,9 +192,9 @@ def test_post_block_w_fits_vmem_budget():
                     * mp * bw * 4) <= pallas_fwd._POST_TOTAL_MB * 2**20
     # small models keep the full default block
     assert pallas_fwd._post_block_w(32, 10**6, 4096) == 4096
-    # the M=133 flagship shrinks to 512 (1024 = 13.4 MB of stream
-    # buffers crashed the Mosaic compile helper)
-    assert pallas_fwd._post_block_w(136, 10**6, 4096) == 512
+    # the M=133 flagship runs 1024-lane blocks at tc=2 (6.7 MB; 13.4 MB
+    # configurations crash the Mosaic compile helper)
+    assert pallas_fwd._post_block_w(136, 10**6, 4096) == 1024
 
 
 def test_fused_posterior_m133_default_block():
