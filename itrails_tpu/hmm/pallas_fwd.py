@@ -73,6 +73,19 @@ _POST_TC_MIN = 2
 _OH_ITYPE = jnp.int32
 
 
+def _fwd_block_w(mp: int, w: int, block_w: int) -> int:
+    """Window-block width for the forward kernel, capped by a per-column
+    VMEM model (one-hot temp 640*2 B + alpha scratches mp*8 B + emission
+    matmul temp 3*mp*4 B per lane): mp=136 at 4096 lanes crashes the
+    Mosaic compile helper; 2048 compiles and runs at 212 Mcol/s."""
+    per_lane = 640 * 2 + mp * 8 + 3 * mp * 4
+    cap = 12 * 2**20 // per_lane
+    pow2 = 128
+    while pow2 * 2 <= cap:
+        pow2 *= 2
+    return min(block_w, pow2, _round_up(w, 128))
+
+
 def _post_block_w(mp: int, w: int, block_w: int) -> int:
     """Window-block width for the posterior kernels: the requested
     ``block_w`` capped so that ``_POST_STREAMS`` live (tc_min, mp, bw) f32
@@ -361,7 +374,7 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     at, btcat = _model_tensors(a, bfull, mp, m, multihot, table_parts,
                                trans)
 
-    bw = min(block_w, _round_up(w, 128))
+    bw = _fwd_block_w(mp, w, block_w)
     wp = _round_up(w, bw)
 
     # step 0 on the XLA side (one cheap (W,) gather), steps 1..T-1 fused

@@ -228,3 +228,14 @@ def test_fast_precision_env_opt_out(monkeypatch):
     monkeypatch.setenv("ITRAILS_TPU_EXACT_DECODE", "1")
     assert decoders._fast_precision() == {"table_parts": 3,
                                           "trans": "highest"}
+
+
+def test_fwd_block_w_caps_large_models():
+    """The forward window block must shrink with mp: mp=136 at 4096 lanes
+    crashes the Mosaic compile helper; 2048 is the proven config."""
+    assert pallas_fwd._fwd_block_w(32, 10**6, 4096) == 4096
+    assert pallas_fwd._fwd_block_w(136, 10**6, 4096) == 2048
+    for mp in (32, 72, 136, 208, 512):
+        bw = pallas_fwd._fwd_block_w(mp, 10**6, 8192)
+        assert bw >= 128 and bw % 128 == 0
+        assert (640 * 2 + mp * 8 + 3 * mp * 4) * bw <= 12 * 2**20
