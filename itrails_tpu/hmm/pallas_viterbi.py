@@ -73,6 +73,12 @@ _PTR_BLOCK_MB = 4.0
 # timing diagnostic ONLY (wrong paths): skip the omega-stream store in the
 # value-only forward to measure the compute ceiling at wide window blocks
 _VO_NOSTORE = False
+# states above this run the value-only forward + pointer-recompute
+# backtrack; at or below it, the unrolled pointer forward.  Measured
+# crossover on v5e (2048x2048 batches): pointer wins at mp=32 (353 vs
+# 142 Mcol/s), value-only wins from mp=40 up (M=36: 131 vs 80; M=63:
+# 94 vs 65)
+_GROUPED_MIN_MP = 32
 
 
 def supported(platform: str | None = None) -> bool:
@@ -310,7 +316,7 @@ def viterbi_fused(a, bfull, pi, tokens, *, block_w: int = 2048,
     # (mp, bw) slabs across the unrolled chain, so mp^2 * bw * 4 must stay
     # <~ 12 MB of scoped VMEM).  Large M: value-only forward + pointer
     # recompute (grouped fori_loop, bounded liveness, wide window block).
-    grouped = mp > 64
+    grouped = mp > _GROUPED_MIN_MP
     if grouped:
         # (round 4 tried widening to 2048 lanes at tc=4 — the 3-D
         # token/path blocks make sub-8 chunks legal — but Mosaic refuses
