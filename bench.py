@@ -229,7 +229,7 @@ def main():
         shapes = {
             "m133_fwd": (2048, 8192) if platform != "cpu" else (8, 512),
             "m133_viterbi": (1024, 8192) if platform != "cpu" else (8, 512),
-            "m133_posterior": (1024, 4096) if platform != "cpu" else (8, 512),
+            "m133_posterior": (2048, 4096) if platform != "cpu" else (8, 512),
         }
         for name, fn in (
             ("m133_fwd", lambda a_, b_, p_, t_: decoders.forward_loglik_fast(

@@ -49,23 +49,11 @@ _KB = 256  # unambiguous base-column count (multi-hot contraction width)
 # chunks — the kernels are instruction-issue bound, so VMEM is better
 # spent on window-block WIDTH than chunk depth (tools/exp_post_phases.py)
 _POST_BLOCK_MB = 2.0
-# hard VMEM ceiling for the posterior backward pass's 6 live (tc, Mp, BW)
-# f32 buffers (alpha + forward-stored emissions in, gamma out, each
-# double-buffered); ~16 MB/core minus tables/one-hot scratch.  The window
-# block shrinks (power-of-two) until the tc=8 floor fits this total —
-# without it, mp=136 at the default block_w=2048 would demand ~50 MB and
-# fail Mosaic allocation
-# 13.0 let mp=136 pick 1024-lane blocks (13.4 MB of stream buffers) and
-# the Mosaic compile helper crashed without a diagnostic; 12.0 keeps
-# mp=136 at the proven 512-lane block and mp<=64 at 4096 (12.58 MB,
-# compiles and runs at 416 Mcol/s)
-_POST_TOTAL_MB = 12.0
-_POST_STREAMS = 6
 # time-chunk floor: tc below 8 is legal (the tiled dims of a 3-D block
 # are the last two) and the kernels are instruction-issue bound, so a
-# WIDER window block at a shallower chunk is a net win — tc=2 lets the
-# M=133 posterior run 1024-lane blocks (51.5 -> 71.8 Mcol/s measured)
-_POST_TC_MIN = 2
+# WIDER window block at a shallower chunk is a net win — tc=1 lets the
+# M=133 posterior run 2048-lane blocks (51.5 -> 95.0 Mcol/s measured)
+_POST_TC_MIN = 1
 # integer type of the one-hot iota compare.  int16 would pack 2-per-lane,
 # but v5e Mosaic supports neither 16-bit iota ("16-bit iota not supported
 # by hardware") nor 16-bit cmpi ("Target does not support this
@@ -88,11 +76,11 @@ def _fwd_block_w(mp: int, w: int, block_w: int) -> int:
 
 def _post_block_w(mp: int, w: int, block_w: int) -> int:
     """Window-block width for the posterior kernels: the requested
-    ``block_w`` capped so that ``_POST_STREAMS`` live (tc_min, mp, bw) f32
-    pipeline buffers fit ``_POST_TOTAL_MB`` (power-of-two cap keeps wp
-    padding minimal)."""
-    cap = (int(_POST_TOTAL_MB * 2**20)
-           // (_POST_STREAMS * _POST_TC_MIN * mp * 4))
+    ``block_w`` capped so one (tc=1, mp, bw) f32 stream buffer stays
+    within ``_POST_BLOCK_MB`` — then the 6 live double-buffered streams
+    total <= ~12 MB, below the ~13.4 MB region that crashes the Mosaic
+    compile helper (power-of-two cap keeps wp padding minimal)."""
+    cap = int(_POST_BLOCK_MB * 2**20) // (mp * 4)
     pow2 = 128
     while pow2 * 2 <= cap:
         pow2 *= 2
@@ -148,8 +136,8 @@ def _sum_parts(e2, mp: int, parts: int):
 def _tok_slice(tok_ref, t):
     """(1, BW) token row at chunk-local step ``t``.  The posterior path
     streams tokens as (tc, 1, BW) blocks — a 2-D (tc, BW) block would pin
-    tc to a multiple of 8, and the posterior kernels run tc=4 to afford
-    wider window blocks."""
+    tc to a multiple of 8, and the posterior kernels run tc down to 1 to
+    afford wider window blocks."""
     if tok_ref.ndim == 3:
         return tok_ref[pl.ds(t, 1), 0, :]
     return tok_ref[pl.ds(t, 1), :]

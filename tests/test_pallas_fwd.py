@@ -188,13 +188,14 @@ def test_post_block_w_fits_vmem_budget():
         for block_w in (512, 2048, 4096):
             bw = pallas_fwd._post_block_w(mp, 10**6, block_w)
             assert bw >= 128 and bw % 128 == 0
-            assert (pallas_fwd._POST_STREAMS * pallas_fwd._POST_TC_MIN
-                    * mp * bw * 4) <= pallas_fwd._POST_TOTAL_MB * 2**20
+            # one tc=1 stream buffer within the per-buffer cap => six
+            # live buffers stay below the compile-helper crash region
+            assert mp * bw * 4 <= pallas_fwd._POST_BLOCK_MB * 2**20
     # small models keep the full default block
     assert pallas_fwd._post_block_w(32, 10**6, 4096) == 4096
-    # the M=133 flagship runs 1024-lane blocks at tc=2 (6.7 MB; 13.4 MB
+    # the M=133 flagship runs 2048-lane blocks at tc=1 (6.7 MB; 13.4 MB
     # configurations crash the Mosaic compile helper)
-    assert pallas_fwd._post_block_w(136, 10**6, 4096) == 1024
+    assert pallas_fwd._post_block_w(136, 10**6, 4096) == 2048
 
 
 def test_fused_posterior_m133_default_block():
