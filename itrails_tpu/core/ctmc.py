@@ -76,12 +76,34 @@ def _vl_buckets(step, masks_np):
 
 def _space_autoperms(n: int):
     """Automorphism permutations of the ``n``-state space (species
-    relabelings), or just the identity when ``n`` matches no full space."""
+    relabelings), or just the identity when ``n`` matches no full space.
+
+    Every returned non-identity perm is verified to preserve the space's
+    coal/rho rate patterns exactly (integer 0/1 pattern equality), so any
+    generator of the form ``coal * coal_pattern + rho * rho_pattern``
+    (ctmc._rate_matrix, introgression.model._rate — one SCALAR rate per
+    class) is provably invariant under it: the orbit dedup in
+    _precompute_vl can reuse one representative exponential per orbit.
+    A future variant with per-population rates inside one epoch would
+    break that invariance *without* changing the patterns — such a
+    variant must not route its generator through the scalar-rate
+    constructors (ADVICE r4: this was previously assumed, not checked)."""
     from itrails_tpu.core.statespace import automorphism_perms
 
     for species in (3, 2):
-        if state_space(species).n_states == n:
-            return automorphism_perms(species)
+        space = state_space(species)
+        if space.n_states == n:
+            perms = automorphism_perms(species)
+            ident = np.arange(n, dtype=np.int64)
+            kept = []
+            for p in perms:
+                if np.array_equal(p, ident) or all(
+                    np.array_equal(pat[np.ix_(p, p)], pat)
+                    for pat in (np.asarray(space.coal_pattern),
+                                np.asarray(space.rho_pattern))
+                ):
+                    kept.append(p)
+            return tuple(kept)
     return (np.arange(n, dtype=np.int64),)
 
 
@@ -140,6 +162,10 @@ def _precompute_vl(plan_steps, masks_np, q, dt):
     198 -> 48).  Exactness: identical up to the ~1-ulp row-sum rounding
     of the permuted diagonal (goldens pin at 1e-9 relative)."""
     n = masks_np.shape[1]
+    # Dedup precondition: q must be invariant under every returned perm.
+    # _space_autoperms guarantees this structurally for any generator of
+    # the form ``sum_i scalar_i * pattern_i`` over the space's rate
+    # patterns (q is a tracer here, so it cannot be inspected directly).
     perms = _space_autoperms(n)
     q_ext = jnp.pad(q, ((0, 1), (0, 1)))  # zero padding row/col
     per_step = []

@@ -103,7 +103,13 @@ def _fast_precision():
     f32 scan).  Setting ``ITRAILS_TPU_EXACT_DECODE=1`` switches every fast
     path (including the sharded/optimizer objective, which only reaches
     the kernels through this dispatch) to the bit-exact-vs-f32-scan
-    configuration."""
+    configuration.
+
+    The variable is read at TRACE time: set it before the first call of
+    each jitted wrapper in the process.  Changing it afterwards is
+    silently ignored for already-compiled shapes (jit caches the traced
+    choice); there is deliberately no runtime re-check, which would leak
+    a host read into every dispatch."""
     import os
 
     if os.environ.get("ITRAILS_TPU_EXACT_DECODE", "0") not in ("", "0"):

@@ -498,6 +498,13 @@ def posterior_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
     dispatch runs 2/"split3": gammas normalise per column, so the ~1e-6
     relative value error does not accumulate).
 
+    HBM footprint: the forward pass streams BOTH the normalised alphas
+    and the emission rows to HBM — two (T, Mp, Wp) f32 tensors (~2x the
+    alpha-only residency; the emission store bought ~2x backward-pass
+    throughput, see the e_all_ref comment in _fwd_store_kernel).  Budget
+    ~8 * T * Mp * Wp bytes: at M=133 a (2048, 8192) batch is ~18 GB —
+    size the batch (or shrink block_w) to HBM accordingly.
+
     Returns
     -------
     layout="twm" (default): (T, W, M) f32 posterior probabilities.

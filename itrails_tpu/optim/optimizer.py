@@ -371,10 +371,23 @@ def optimizer(
         # interpolation collapse the next trial step below the decode's
         # f32 value noise, aborting the whole run at its start point (the
         # measured round-3/round-4 introgression stall).  A quadratic bowl
-        # anchored at the start point keeps the penalty within ~10x of
-        # real objective magnitudes and always slopes back toward
-        # feasibility.
+        # anchored at the start point always slopes back toward
+        # feasibility.  The bowl's base is scaled to the data: genome-
+        # scale objectives (-loglik) easily exceed a fixed 1e7, which
+        # would otherwise make the infeasible region score BETTER than
+        # every feasible point, so the base tracks 10x the largest finite
+        # objective magnitude seen so far (1e7 floor before the first
+        # finite eval).
         _PENALTY_SOFT = 1e7
+        obj_scale = {"max_abs": 0.0}
+
+        # the z-space anchor below assumes every start value is positive
+        # (z0 = 1); a nonpositive x0 would flip the penalty slope or
+        # degenerate the scaling, so fail loudly instead of silently
+        assert np.all(np.asarray(optim_list, np.float64) > 0.0), (
+            "grad path requires strictly positive starting values "
+            f"(got {list(optim_list)})"
+        )
 
         def objective(z):
             z = np.asarray(z, np.float64)
@@ -382,9 +395,10 @@ def optimizer(
             ll, g = vg(arg_lst)
             _record(arg_lst, ll)
             if not (np.isfinite(ll) and np.all(np.isfinite(g))):
+                base = max(10.0 * obj_scale["max_abs"], _PENALTY_SOFT)
                 dz = z - 1.0  # start point is all-ones in z-space
-                return (_PENALTY_SOFT * (1.0 + float(dz @ dz)),
-                        2.0 * _PENALTY_SOFT * dz)
+                return (base * (1.0 + float(dz @ dz)), 2.0 * base * dz)
+            obj_scale["max_abs"] = max(obj_scale["max_abs"], abs(float(ll)))
             return -ll, -np.asarray(g, np.float64) * scale
 
         res = minimize(
