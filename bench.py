@@ -1,31 +1,47 @@
-"""Benchmark: alignment columns/second/chip for the forward log-likelihood
-decode of the 3-species coalescent HMM (the per-optimizer-eval hot loop).
+"""Benchmark: alignment columns/second/chip for the decoders of the
+3-species coalescent HMM (the per-optimizer-eval hot loop), across all
+four production model families:
+
+  * plain 3x3   (M=27,  the default topology)       -> headline value
+  * plain 7x7   (M=133, BASELINE config 3)          -> m133_* fields
+  * introgression 3x3 (M=36)                        -> int36_* fields
+  * introgression 7x7 (M=182)                       -> int182_* fields
+
+plus realistic-data variants (tokens simulated from the model with N
+bursts, ~98% unambiguous — real-MAF statistics) and cold/warm-cache
+model-build latencies.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Baseline: single-core iTRAILS runs the same recursion as a numba-compiled
-loop (reference optimizer.py:165-188).  Per column that is ~M^2 FMAs plus M
-exp/log transcendentals; at M=27 a 3 GHz core is bounded at ~2.5e6
-columns/s, which we adopt as a deliberately generous single-core baseline
-(the pure-Python reference measured here is ~100x slower than that bound).
+loop (reference optimizer.py:165-188); tools/measure_baseline.py times a
+C -O3 build of it (BASELINE_MEASURED.json) for the measured baseline.
 """
 
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
-# Fallback only: a generous single-core numba estimate (M=27).  When
-# BASELINE_MEASURED.json exists (written by tools/measure_baseline.py, which
-# times a single-core C -O3 build of the reference recursion plus the
-# pure-Python reference itself), its measured c_cols_per_s is used instead
-# and reported with provenance.
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Fallback only: a generous single-core numba estimate (M=27) when
+# BASELINE_MEASURED.json is absent.
 BASELINE_COLS_PER_SEC = 2.5e6
+
+PLAIN = dict(t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004,
+             t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
+             r=1.0)
+INT = dict(t_A=0.0024, t_B=0.0016, t_C=0.0016, t_2=0.0004,
+           t_upper=0.00745069, t_out=0.009312, t_m=0.0008, N_AB=0.0005,
+           N_BC=0.0004, N_ABC=0.0005, r=1.0, m=0.1)
 
 
 def measured_baseline():
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BASELINE_MEASURED.json")
+    path = os.path.join(REPO, "BASELINE_MEASURED.json")
     if os.path.exists(path):
         with open(path) as f:
             d = json.load(f)
@@ -43,60 +59,207 @@ def measured_baseline():
     }
 
 
+def _subprocess_build_s(kind, params, n_ab, n_abc):
+    """Cold-process model build wall clock (seconds), measured inside a
+    child interpreter — certifies what a NEW process pays after this one
+    populated the on-disk caches (VERDICT r4 item 3)."""
+    fn = ("build_model_introgression" if kind == "int" else "build_model")
+    mod = ("itrails_tpu.introgression.builder" if kind == "int"
+           else "itrails_tpu.core.model")
+    code = f"""
+import sys, time
+sys.path.insert(0, {REPO!r})
+import jax
+# the build runs on the host CPU; never touch the TPU tunnel from this
+# probe (a second axon client handshake under a busy parent measured ~60 s)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from itrails_tpu.utils.cache import build_device, enable_compilation_cache
+enable_compilation_cache()
+import numpy as np
+from {mod} import {fn}
+t0 = time.time()
+m = {fn}(n_int_AB={n_ab}, n_int_ABC={n_abc}, dtype="float64",
+         device=build_device({n_ab}, {n_abc}), **{params!r})
+np.asarray(m.a)
+print("BUILD_S", time.time() - t0)
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=600, cwd=REPO,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("BUILD_S "):
+                return round(float(line.split()[1]), 3)
+        return f"error: no BUILD_S line (rc={out.returncode}, " \
+               f"stderr={out.stderr[-120:]!r})"
+    except Exception as e:
+        return f"error: {type(e).__name__}"[:120]
+
+
+def _roll_variants(arr, n, jnp, dev, jax):
+    """n distinct device buffers derived from one host batch by rolling
+    along the column axis — the tunneled axon backend memoizes repeated
+    identical calls, so every timed rep needs never-before-seen bytes."""
+    import numpy as np
+
+    return [
+        jax.device_put(jnp.asarray(np.roll(arr, 97 * i + 1, axis=1)), dev)
+        for i in range(n)
+    ]
+
+
 def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)  # f64 model build on host
     from itrails_tpu.cli.common import enable_compilation_cache
 
-    enable_compilation_cache()  # persist TPU/CPU compiles across runs
+    enable_compilation_cache()  # persist compiles across runs
     import jax.numpy as jnp
     import numpy as np
 
     platform = jax.default_backend()
     dev = jax.devices()[0]
-    # model builds: accelerator for the small topology, host for 7x7
-    # (see utils.cache.build_device)
-    from itrails_tpu.utils.cache import build_device
-
-    bdev = build_device(3, 3)
-    bdev133 = build_device(7, 7)
-
+    from itrails_tpu.utils import cache as ucache
     from itrails_tpu.core.model import build_model
+    from itrails_tpu.data.simulate import simulate_token_batch
     from itrails_tpu.data.tokens import aggregation_matrix
     from itrails_tpu.hmm import decoders
+    from itrails_tpu.introgression.builder import build_model_introgression
 
-    # flagship config: default 3x3 discretization -> 27 hidden states
-    t0 = time.time()
-    model = build_model(
-        t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
-        t_out=0.009312, N_AB=0.0005, N_ABC=0.0005, r=1.0,
-        n_int_AB=3, n_int_ABC=3, dtype="float64", device=bdev,
+    cast = jnp.float32
+    agg = jnp.asarray(aggregation_matrix(), cast)
+    rng = np.random.default_rng(0)
+    extras = {}
+    on_tpu = platform != "cpu"
+
+    def tables(model):
+        a = jax.device_put(jnp.asarray(model.a, cast), dev)
+        pi = jax.device_put(jnp.asarray(model.pi, cast), dev)
+        bfull = jax.device_put(
+            decoders.emission_table(jnp.asarray(model.b, cast), agg), dev
+        )
+        return a, bfull, pi
+
+    def time_rates(g, a, bfull, pi, bufs, w, t_len):
+        """(median Mcol/s, [min, max]) over the non-warmup buffers."""
+        float(g(a, bfull, pi, bufs[0]))  # compile + warm up
+        ts = []
+        for tkn in bufs[1:]:
+            t0 = time.time()
+            float(g(a, bfull, pi, tkn))
+            ts.append(time.time() - t0)
+        rates = sorted(w * t_len / t / 1e6 for t in ts)
+        return (round(float(np.median(rates)), 1),
+                [round(rates[0], 1), round(rates[-1], 1)])
+
+    DECODERS = (
+        ("fwd", lambda a_, b_, p_, t_: decoders.forward_loglik_fast(
+            a_, b_, p_, t_)),
+        ("viterbi", lambda a_, b_, p_, t_: decoders.viterbi_fast(
+            a_, b_, p_, t_)[:, -1].sum()),
+        ("posterior", lambda a_, b_, p_, t_: decoders.posterior_fast(
+            a_, b_, p_, t_)[-1].sum()),
     )
+
+    def decode_suite(prefix, model, shapes, realistic_src=None, reps=4):
+        """Time fwd/viterbi/posterior at the given shapes; when
+        ``realistic_src`` (a host token batch simulated from the model)
+        is given, re-time each decoder on slices of it — same compiled
+        kernels, realistic data — into ``*_realistic`` fields."""
+        a, bfull, pi = tables(model)
+        for name, fn in DECODERS:
+            key = f"{prefix}{name}_mcols_per_s"
+            try:
+                w, t_len = shapes[name]
+                g = jax.jit(fn)
+                bufs = [
+                    jax.device_put(
+                        jnp.asarray(rng.integers(0, 625, size=(w, t_len)),
+                                    jnp.int32), dev)
+                    for _ in range(reps + 1)
+                ]
+                med, rng_ = time_rates(g, a, bfull, pi, bufs, w, t_len)
+                extras[key] = med
+                extras[f"{prefix}{name}_mcols_range"] = rng_
+                del bufs
+                if realistic_src is not None:
+                    rbufs = _roll_variants(
+                        np.ascontiguousarray(realistic_src[:w, :t_len]),
+                        reps + 1, jnp, dev, jax)
+                    med_r, _ = time_rates(g, a, bfull, pi, rbufs, w, t_len)
+                    extras[f"{key}_realistic"] = med_r
+                    del rbufs
+            except Exception as e:  # one decoder must not kill the bench
+                extras[key] = f"error: {type(e).__name__}: {e}"[:160]
+        return a, bfull, pi
+
+    def eval_loop(prefix, build_fn, fwd, a, bfull, pi):
+        """Full optimizer-evaluation wall clock: model rebuild + forward
+        likelihood on a 1 Mb batch (BASELINE config 2 shape)."""
+        try:
+            mb = jax.device_put(
+                jnp.asarray(rng.integers(0, 625, size=(256, 4096)),
+                            jnp.int32), dev)
+            float(fwd(a, bfull, pi, mb))  # compile the 1 Mb shape
+
+            def one_eval(da):
+                m2 = build_fn(da)
+                a2, b2, p2 = tables(m2)
+                return float(fwd(a2, b2, p2, mb))
+
+            one_eval(1.7e-6)  # warm
+            ts = []
+            for k in range(3):
+                t0 = time.time()
+                one_eval(1e-7 * (k + 1))
+                ts.append(time.time() - t0)
+            extras[f"{prefix}optimizer_eval_s"] = round(
+                float(np.median(ts)), 3)
+        except Exception as e:
+            extras[f"{prefix}optimizer_eval_s"] = (
+                f"error: {type(e).__name__}: {e}"[:160])
+
+    # ---- plain 3x3 (M=27): headline -------------------------------------
+    bdev = ucache.build_device(3, 3)
+    akey = ucache.model_artifact_key(
+        "plain", 3, 3, "float64", list(PLAIN.values()))
+    extras["model_build_s_first_artifact_hit"] = bool(
+        ucache.model_artifact_get(akey) is not None)
+    t0 = time.time()
+    model = build_model(**PLAIN, n_int_AB=3, n_int_ABC=3, dtype="float64",
+                        device=bdev)
     np.asarray(model.a)
     build_first_s = time.time() - t0
+    # cold-process rebuilds now that this process populated the caches:
+    # same params -> model-artifact cache; new params -> persistent XLA
+    # compile cache (VERDICT r4 item 3)
+    extras["model_build_s_first_warm_cache"] = _subprocess_build_s(
+        "plain", PLAIN, 3, 3)
+    extras["model_build_s_new_params_warm_cache"] = _subprocess_build_s(
+        "plain", {**PLAIN, "t_A": 0.002407}, 3, 3)
+    # every later build in this process varies a parameter, so the
+    # artifact layer could only add per-build npz writes — disable it to
+    # keep the cached-build / per-eval timings free of disk IO (the XLA
+    # compile cache stays enabled; its config is already applied)
+    os.environ["ITRAILS_NO_CACHE"] = "1"
     # second build: the jit-cached per-optimizer-eval cost
     t0 = time.time()
-    model = build_model(
-        t_A=0.00241, t_B=0.0024, t_C=0.0028, t_2=0.0004, t_upper=0.00745069,
-        t_out=0.009312, N_AB=0.0005, N_ABC=0.00051, r=1.0,
-        n_int_AB=3, n_int_ABC=3, dtype="float64", device=bdev,
-    )
+    model = build_model(**{**PLAIN, "t_A": 0.00241, "N_ABC": 0.00051},
+                        n_int_AB=3, n_int_ABC=3, dtype="float64",
+                        device=bdev)
     np.asarray(model.a)  # materialize: block_until_ready lies on axon
     build_eval_s = time.time() - t0
 
-    cast = jnp.float32
-    a = jnp.asarray(model.a, cast)
-    pi = jnp.asarray(model.pi, cast)
-    bfull = decoders.emission_table(
-        jnp.asarray(model.b, cast), jnp.asarray(aggregation_matrix(), cast)
-    )
+    a, pi_ = (jnp.asarray(model.a, cast), jnp.asarray(model.pi, cast))
+    bfull = decoders.emission_table(jnp.asarray(model.b, cast), agg)
     a = jax.device_put(a, dev)
-    pi = jax.device_put(pi, dev)
+    pi_ = jax.device_put(pi_, dev)
     bfull = jax.device_put(bfull, dev)
 
-    n_windows, win_len = (4096, 8192) if platform != "cpu" else (32, 2048)
-    rng = np.random.default_rng(0)
+    n_windows, win_len = (4096, 8192) if on_tpu else (32, 2048)
     n_cols = n_windows * win_len
     # NOTE: on the tunneled axon backend block_until_ready() does not wait
     # for remote execution and repeated identical calls are memoized, so
@@ -105,209 +268,185 @@ def main():
     reps = 4
     bufs = [
         jax.device_put(
-            jnp.asarray(rng.integers(0, 625, size=(n_windows, win_len)), jnp.int32),
-            dev,
-        )
+            jnp.asarray(rng.integers(0, 625, size=(n_windows, win_len)),
+                        jnp.int32), dev)
         for _ in range(reps + 1)
     ]
-
     fwd = jax.jit(decoders.forward_loglik_fast)
-    ll = float(fwd(a, bfull, pi, bufs[0]))  # compile + warm up
-
+    ll = float(fwd(a, bfull, pi_, bufs[0]))  # compile + warm up
     times = []
     for i in range(1, reps + 1):
         t0 = time.time()
-        ll = float(fwd(a, bfull, pi, bufs[i]))
+        ll = float(fwd(a, bfull, pi_, bufs[i]))
         times.append(time.time() - t0)
     dt = float(np.median(times))
     cols_per_sec = n_cols / dt
 
-    # full optimizer-evaluation wall clock: model rebuild + likelihood on an
-    # actual 1 Mb batch (BASELINE config 2 shape: 256 x 4096 = 1.05M cols)
+    # full optimizer-evaluation wall clock (model rebuild + 1 Mb decode)
+    # — timed BEFORE the realistic section: allocating/freeing its extra
+    # multi-hundred-MB device buffers right before this loop measured ~1 s
+    # per eval of allocator churn on the tunneled backend
     mb_tokens = jax.device_put(
         jnp.asarray(rng.integers(0, 625, size=(256, 4096)), jnp.int32), dev
     )
-    float(fwd(a, bfull, pi, mb_tokens))  # compile the 1 Mb shape
+    float(fwd(a, bfull, pi_, mb_tokens))  # compile the 1 Mb shape
 
     def one_eval(da):
-        model2 = build_model(
-            t_A=0.0024 + da, t_B=0.0024, t_C=0.0028, t_2=0.0004,
-            t_upper=0.00745069, t_out=0.009312, N_AB=0.000501, N_ABC=0.0005,
-            r=1.0, n_int_AB=3, n_int_ABC=3, dtype="float64", device=bdev,
-        )
-        a2 = jax.device_put(jnp.asarray(model2.a, cast), dev)
-        pi2 = jax.device_put(jnp.asarray(model2.pi, cast), dev)
+        m2 = build_model(**{**PLAIN, "t_A": PLAIN["t_A"] + da,
+                            "N_AB": 0.000501},
+                         n_int_AB=3, n_int_ABC=3, dtype="float64",
+                         device=bdev)
+        a2 = jax.device_put(jnp.asarray(m2.a, cast), dev)
+        pi2 = jax.device_put(jnp.asarray(m2.pi, cast), dev)
         bfull2 = jax.device_put(
-            decoders.emission_table(
-                jnp.asarray(model2.b, cast),
-                jnp.asarray(aggregation_matrix(), cast),
-            ),
-            dev,
-        )
+            decoders.emission_table(jnp.asarray(m2.b, cast), agg), dev)
         return float(fwd(a2, bfull2, pi2, mb_tokens))
 
     one_eval(1.3e-5)  # warm
     evs = []
-    for k in range(3):
+    for k in range(5):
         t0 = time.time()
         one_eval(1e-6 * (k + 1))
         evs.append(time.time() - t0)
     optimizer_eval_s = float(np.median(evs))
 
-    # secondary decoders: posterior on the full 4096-window batch (its
-    # kernels scale with window-block WIDTH; alpha+emission+gamma streams
-    # are ~12.9 GB at (4096, 8192) f32 — inside HBM), viterbi on a
-    # 2048-window slice
-    extras = {}
-    vit = jax.jit(lambda a, bf, pi, t: decoders.viterbi_fast(a, bf, pi, t)[:, -1].sum())
-    post = jax.jit(lambda a, bf, pi, t: decoders.posterior_fast(a, bf, pi, t)[-1].sum())
-    for name, fn, wd in (("viterbi", vit, min(2048, n_windows)),
-                         ("posterior", post, min(4096, n_windows))):
+    # realistic-data variant of the headline: tokens simulated from the
+    # model with ~2% N bursts (real-MAF statistics); same compiled kernel
+    try:
+        sim27 = simulate_token_batch(model, n_windows, win_len, seed=11)
+        rbufs = _roll_variants(sim27, reps, jnp, dev, jax)
+        ts = []
+        for tkn in rbufs:
+            t0 = time.time()
+            float(fwd(a, bfull, pi_, tkn))
+            ts.append(time.time() - t0)
+        extras["fwd_mcols_per_s_realistic"] = round(
+            n_cols / float(np.median(ts)) / 1e6, 1)
+        del rbufs
+    except Exception as e:
+        extras["fwd_mcols_per_s_realistic"] = (
+            f"error: {type(e).__name__}"[:120])
+        sim27 = None
+
+    # secondary decoders: posterior on the full 4096-window batch (alpha+
+    # emission+gamma streams ~12.9 GB at (4096, 8192) f32 — inside HBM),
+    # viterbi on a 2048-window slice; each with a realistic-data re-time
+    vit = jax.jit(lambda a_, b_, p_, t_: decoders.viterbi_fast(
+        a_, b_, p_, t_)[:, -1].sum())
+    post = jax.jit(lambda a_, b_, p_, t_: decoders.posterior_fast(
+        a_, b_, p_, t_)[-1].sum())
+    for name, g, wd in (("viterbi", vit, min(2048, n_windows)),
+                        ("posterior", post, min(4096, n_windows))):
         try:
             dec_tokens = [b[:wd] for b in bufs]
-            float(fn(a, bfull, pi, dec_tokens[0]))
-            ts = []
-            for tkn in dec_tokens[1:]:
-                t0 = time.time()
-                float(fn(a, bfull, pi, tkn))
-                ts.append(time.time() - t0)
-            rates = sorted(wd * win_len / t / 1e6 for t in ts)
-            extras[f"{name}_mcols_per_s"] = round(float(np.median(rates)), 1)
-            extras[f"{name}_mcols_range"] = [round(rates[0], 1),
-                                             round(rates[-1], 1)]
+            med, rng_ = time_rates(g, a, bfull, pi_, dec_tokens, wd, win_len)
+            extras[f"{name}_mcols_per_s"] = med
+            extras[f"{name}_mcols_range"] = rng_
+            del dec_tokens
+            if sim27 is not None:
+                rbufs = _roll_variants(sim27[:wd], 4, jnp, dev, jax)
+                med_r, _ = time_rates(g, a, bfull, pi_, rbufs, wd, win_len)
+                extras[f"{name}_mcols_per_s_realistic"] = med_r
+                del rbufs
         except Exception as e:  # secondary metric must not kill the bench
             extras[f"{name}_mcols_per_s"] = f"error: {type(e).__name__}"
-        del dec_tokens
+    # free the M=27 batches before the flagship section: leftover HBM
+    # pressure was measured to slow the m133 posterior ~6x
+    del bufs, vit, post, sim27
 
-    # free the M=27 batches before the flagship section: the W=4096
-    # posterior above holds multi-GB alpha/gamma allocations and the
-    # leftover HBM pressure was measured to slow the m133 posterior ~6x
-    del bufs, vit, post
-
-    # flagship 7x7 config (BASELINE config 3: 133 hidden states)
+    # ---- plain 7x7 (M=133): BASELINE config 3 ---------------------------
     try:
+        bdev133 = ucache.build_device(7, 7)
         t0 = time.time()
-        m133 = build_model(
-            t_A=0.0024, t_B=0.0024, t_C=0.0028, t_2=0.0004,
-            t_upper=0.00745069, t_out=0.009312, N_AB=0.0005, N_ABC=0.0005,
-            r=1.0, n_int_AB=7, n_int_ABC=7, dtype="float64", device=bdev133,
-        )
+        m133 = build_model(**PLAIN, n_int_AB=7, n_int_ABC=7,
+                           dtype="float64", device=bdev133)
+        np.asarray(m133.a)
         extras["m133_build_s_first"] = round(time.time() - t0, 2)
         bts = []
         for k in range(7):  # steady-state per-eval rebuild (param changed)
             t0 = time.time()
-            m133 = build_model(
-                t_A=0.00241 + 1e-6 * k, t_B=0.0024, t_C=0.0028, t_2=0.0004,
-                t_upper=0.00745069, t_out=0.009312, N_AB=0.0005,
-                N_ABC=0.0005, r=1.0, n_int_AB=7, n_int_ABC=7,
-                dtype="float64", device=bdev133,
-            )
+            m133 = build_model(**{**PLAIN, "t_A": 0.00241 + 1e-6 * k},
+                               n_int_AB=7, n_int_ABC=7, dtype="float64",
+                               device=bdev133)
             np.asarray(m133.a)
             bts.append(time.time() - t0)
-        # median + dispersion: a single thermal/contention outlier must be
-        # visible, not silently folded into the headline (round-3 verdict:
-        # builder 0.36 vs driver 0.49 with no way to tell why)
+        # median + dispersion: a thermal/contention outlier must be
+        # visible, not silently folded into the headline
         q1, q3 = np.percentile(bts, [25, 75])
         extras["m133_build_s_cached"] = round(float(np.median(bts)), 3)
         extras["m133_build_s_cached_iqr"] = [round(float(q1), 3),
                                              round(float(q3), 3)]
         extras["m133_build_s_cached_min"] = round(float(np.min(bts)), 3)
         extras["m133_build_s_cached_max"] = round(float(np.max(bts)), 3)
-        a3 = jax.device_put(jnp.asarray(m133.a, cast), dev)
-        pi3 = jax.device_put(jnp.asarray(m133.pi, cast), dev)
-        bfull3 = jax.device_put(
-            decoders.emission_table(
-                jnp.asarray(m133.b, cast),
-                jnp.asarray(aggregation_matrix(), cast),
-            ),
-            dev,
-        )
-        # batch sizes: big enough that per-dispatch overhead (~10-20 ms on
-        # the tunneled backend) stays <10% of the measured kernel time;
-        # posterior materialises (T, Mp, W) f32 gammas so its batch is
-        # HBM-capped
-        shapes = {
-            "m133_fwd": (2048, 8192) if platform != "cpu" else (8, 512),
-            "m133_viterbi": (1024, 8192) if platform != "cpu" else (8, 512),
-            "m133_posterior": (2048, 4096) if platform != "cpu" else (8, 512),
+        # batch sizes: big enough that per-dispatch overhead (~10-20 ms
+        # on the tunneled backend) stays <10%; posterior streams two
+        # (T, Mp, W) f32 tensors so its batch is HBM-capped
+        shapes133 = {
+            "fwd": (2048, 8192) if on_tpu else (8, 512),
+            "viterbi": (1024, 8192) if on_tpu else (8, 512),
+            "posterior": (2048, 4096) if on_tpu else (8, 512),
         }
-        for name, fn in (
-            ("m133_fwd", lambda a_, b_, p_, t_: decoders.forward_loglik_fast(
-                a_, b_, p_, t_)),
-            ("m133_viterbi", lambda a_, b_, p_, t_: decoders.viterbi_fast(
-                a_, b_, p_, t_)[:, -1].sum()),
-            ("m133_posterior", lambda a_, b_, p_, t_: decoders.posterior_fast(
-                a_, b_, p_, t_)[-1].sum()),
-        ):
-            try:
-                w3, t3 = shapes[name]
-                bufs3 = [
-                    jax.device_put(
-                        jnp.asarray(
-                            rng.integers(0, 625, size=(w3, t3)), jnp.int32
-                        ),
-                        dev,
-                    )
-                    for _ in range(5)
-                ]
-                g = jax.jit(fn)
-                float(g(a3, bfull3, pi3, bufs3[0]))
-                ts = []
-                for tkn in bufs3[1:]:
-                    t0 = time.time()
-                    float(g(a3, bfull3, pi3, tkn))
-                    ts.append(time.time() - t0)
-                rates = sorted(w3 * t3 / t / 1e6 for t in ts)
-                extras[f"{name}_mcols_per_s"] = round(
-                    float(np.median(rates)), 1
-                )
-                extras[f"{name}_mcols_range"] = [round(rates[0], 1),
-                                                 round(rates[-1], 1)]
-            except Exception as e:
-                extras[f"{name}_mcols_per_s"] = (
-                    f"error: {type(e).__name__}: {e}"[:160]
-                )
-
-        # full per-eval wall clock at the 7x7 flagship on a 1 Mb batch
-        # (model rebuild on host + forward decode): BASELINE config 2/3 mix
+        # per-eval before the decode suite (same allocator-churn rationale
+        # as the M=27 section)
+        a3, bf3, pi3 = tables(m133)
+        eval_loop(
+            "m133_",
+            lambda da: build_model(**{**PLAIN, "t_A": PLAIN["t_A"] + da},
+                                   n_int_AB=7, n_int_ABC=7,
+                                   dtype="float64", device=bdev133),
+            jax.jit(decoders.forward_loglik_fast), a3, bf3, pi3)
+        del a3, bf3, pi3
+        sim133 = None
         try:
-            mb133 = jax.device_put(
-                jnp.asarray(rng.integers(0, 625, size=(256, 4096)), jnp.int32),
-                dev,
-            )
-            fwd133 = jax.jit(decoders.forward_loglik_fast)
-
-            def one_eval_133(da):
-                m2 = build_model(
-                    t_A=0.0024 + da, t_B=0.0024, t_C=0.0028, t_2=0.0004,
-                    t_upper=0.00745069, t_out=0.009312, N_AB=0.0005,
-                    N_ABC=0.0005, r=1.0, n_int_AB=7, n_int_ABC=7,
-                    dtype="float64", device=bdev133,
-                )
-                a_ = jax.device_put(jnp.asarray(m2.a, cast), dev)
-                p_ = jax.device_put(jnp.asarray(m2.pi, cast), dev)
-                b_ = jax.device_put(
-                    decoders.emission_table(
-                        jnp.asarray(m2.b, cast),
-                        jnp.asarray(aggregation_matrix(), cast),
-                    ),
-                    dev,
-                )
-                return float(fwd133(a_, b_, p_, mb133))
-
-            one_eval_133(1.7e-6)  # warm/compile
-            ts = []
-            for k in range(3):
-                t0 = time.time()
-                one_eval_133(1e-7 * (k + 1))
-                ts.append(time.time() - t0)
-            extras["m133_optimizer_eval_s"] = round(float(np.median(ts)), 3)
-        except Exception as e:
-            extras["m133_optimizer_eval_s"] = (
-                f"error: {type(e).__name__}: {e}"[:160]
-            )
+            sim133 = simulate_token_batch(m133, *shapes133["fwd"], seed=12)
+        except Exception:
+            pass
+        decode_suite("m133_", m133, shapes133, realistic_src=sim133)
+        del sim133
     except Exception as e:  # flagship metrics must not kill the bench line
         extras["m133_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- introgression 3x3 (M=36) and 7x7 (M=182): VERDICT r4 item 1 ----
+    for tag, (n_ab, n_abc), shapes in (
+        ("int36", (3, 3), {"fwd": (2048, 8192), "viterbi": (1024, 8192),
+                           "posterior": (2048, 4096)}),
+        ("int182", (7, 7), {"fwd": (1024, 8192), "viterbi": (512, 8192),
+                            "posterior": (1024, 4096)}),
+    ):
+        if not on_tpu:
+            shapes = {k: (8, 512) for k in shapes}
+        try:
+            bdev_i = ucache.build_device(n_ab, n_abc)
+            t0 = time.time()
+            mi = build_model_introgression(
+                **INT, n_int_AB=n_ab, n_int_ABC=n_abc, dtype="float64",
+                device=bdev_i)
+            np.asarray(mi.a)
+            extras[f"{tag}_build_s_first"] = round(time.time() - t0, 2)
+            bts = []
+            for k in range(3):
+                t0 = time.time()
+                mi = build_model_introgression(
+                    **{**INT, "t_A": INT["t_A"] + 1e-6 * (k + 1)},
+                    n_int_AB=n_ab, n_int_ABC=n_abc, dtype="float64",
+                    device=bdev_i)
+                np.asarray(mi.a)
+                bts.append(time.time() - t0)
+            extras[f"{tag}_build_s_cached"] = round(
+                float(np.median(bts)), 3)
+            ai, bfi, pii = tables(mi)
+            eval_loop(
+                f"{tag}_",
+                lambda da, n_ab=n_ab, n_abc=n_abc, bdev_i=bdev_i:
+                    build_model_introgression(
+                        **{**INT, "t_A": INT["t_A"] + da},
+                        n_int_AB=n_ab, n_int_ABC=n_abc, dtype="float64",
+                        device=bdev_i),
+                jax.jit(decoders.forward_loglik_fast), ai, bfi, pii)
+            del ai, bfi, pii
+            decode_suite(f"{tag}_", mi, shapes)
+        except Exception as e:
+            extras[f"{tag}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     base_rate, base_info = measured_baseline()
     extras.update(base_info)

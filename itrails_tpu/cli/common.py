@@ -411,6 +411,7 @@ def prepare_optimize_setup(config, introgression=False):
     return {
         "case": case,
         "method": method,
+        "method_explicit": "method" in settings,
         "mu": mu,
         "optim_variables": optim_variables,
         "optim_list": optim_list,
@@ -420,6 +421,30 @@ def prepare_optimize_setup(config, introgression=False):
         "descaled_bounds": descaled_bounds,
         "settings": settings,
     }
+
+
+def resolve_optim_method(setup, grad_flag: bool, no_grad_flag: bool):
+    """Resolve ``(use_grad, scipy_method)`` for an optimize CLI run.
+
+    Default (no flags, no explicit ``settings.method``): the
+    exact-gradient L-BFGS-B path — GRADEVAL.json shows it winning
+    wall-clock-to-convergence with equal-or-better optima, and the
+    reference has no exact-gradient mode at all (its L-BFGS-B is
+    finite-difference, reference optimizer.py:620-637).  Explicitly
+    setting ``settings.method: Nelder-Mead`` (or passing ``--no-grad``)
+    restores the reference's default algorithm for trajectory-level
+    parity; ``--no-grad`` with ``settings.method: L-BFGS-B`` gives
+    scipy's finite-difference L-BFGS-B, the reference's other mode."""
+    if grad_flag and no_grad_flag:
+        raise ValueError("--grad and --no-grad are mutually exclusive")
+    if no_grad_flag:
+        return False, ("L-BFGS-B" if setup["method"] == "l-bfgs-b"
+                       else "Nelder-Mead")
+    if grad_flag:
+        return True, "L-BFGS-B"
+    if setup["method_explicit"] and setup["method"] == "nelder-mead":
+        return False, "Nelder-Mead"
+    return True, "L-BFGS-B"
 
 
 def prepare_decode_setup(config, introgression=False):

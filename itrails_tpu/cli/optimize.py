@@ -11,7 +11,12 @@ from __future__ import annotations
 import os
 
 from itrails_tpu import __version__
-from itrails_tpu.cli.common import prepare_optimize_setup, resolve_io, standard_parser
+from itrails_tpu.cli.common import (
+    prepare_optimize_setup,
+    resolve_io,
+    resolve_optim_method,
+    standard_parser,
+)
 from itrails_tpu.config import load_config, seed_best_model, write_starting_params
 from itrails_tpu.data.maf import maf_tokens
 from itrails_tpu.optim.optimizer import optimizer
@@ -30,11 +35,15 @@ def main(argv=None):
     parser.add_argument("--precision", choices=["float32", "float64"],
                         default="float64")
     parser.add_argument("--grad", action="store_true",
-                        help="Use exact gradients (reverse-mode AD through "
-                             "the model build and decode) with a "
-                             "gradient-based scipy method; implies "
-                             "L-BFGS-B unless settings.method says "
-                             "otherwise.")
+                        help="Force the exact-gradient path (reverse-mode "
+                             "AD through the model build and decode, "
+                             "L-BFGS-B).  This is already the default "
+                             "unless the config sets settings.method: "
+                             "Nelder-Mead explicitly.")
+    parser.add_argument("--no-grad", action="store_true",
+                        help="Disable the exact-gradient path: run the "
+                             "reference's derivative-free algorithm "
+                             "(settings.method, default Nelder-Mead).")
     parser.add_argument("--resume", action="store_true",
                         help="Continue a previous run: restart from the "
                              "best parameters in <output>.best_model.yaml "
@@ -106,7 +115,9 @@ def main(argv=None):
     print(f"{len(v_lst)} alignment blocks, "
           f"{sum(len(v) for v in v_lst)} columns.")
 
-    print("Running optimization...")
+    use_grad, method = resolve_optim_method(setup, args.grad, args.no_grad)
+    print(f"Running optimization ({method}"
+          f"{', exact gradients' if use_grad else ''})...")
     from itrails_tpu.utils.profiling import trace
 
     with trace(args.profile):
@@ -118,14 +129,12 @@ def main(argv=None):
             v_lst=v_lst,
             res_name=user_output,
             case=setup["case"],
-            method=("L-BFGS-B" if args.grad
-                    and setup["method"] == "Nelder-Mead"
-                    else setup["method"]),
+            method=method,
             maxiter=(args.maxiter if args.maxiter is not None
                      else int(settings.get("maxiter") or 10000)),
             dtype=args.precision,
             header=not resume,
-            use_grad=args.grad,
+            use_grad=use_grad,
         )
     print(
         f"Optimization complete. Results saved to "

@@ -81,31 +81,41 @@ def jc69_propagator(theta):
     return 0.25 + eq * e
 
 
-def _single_integrand(alpha, beta, gamma, t, mu, k):
-    """Reference JC69_analytical_integral (get_emission_prob_mat.py:47-92)."""
-    ekt = jnp.exp(k * t)
-    emt = jnp.exp(mu * t)
+def _phi(x, xp=jnp):
+    """(1 - exp(-x)) / x, the stable divided difference of exp: finite and
+    accurate for every x including x == 0 (series there)."""
+    small = xp.abs(x) < 1e-4
+    safe = xp.where(small, 1.0, x)
+    series = 1.0 - x * (0.5 - x * (1.0 / 6.0 - x / 24.0))
+    return xp.where(small, series, -xp.expm1(-safe) / safe)
+
+
+def _single_integrand(alpha, beta, gamma, t, mu, k, xp=jnp):
+    """Reference JC69_analytical_integral (get_emission_prob_mat.py:47-92),
+    restructured to remove the k ~= mu numerical cliff the reference
+    inherits: its ``gamma/(mu - k)`` and ``gamma/(k - mu)`` terms cancel
+    catastrophically (f64 error ~eps/|mu-k|, tools/
+    exp_integrand_singular.py); here the pair is the exact divided
+    difference ``gamma * exp(-k t) * t * phi((mu - k) t)``, finite and
+    fully accurate through k == mu.  Every ``1 - exp(-x)`` is ``-expm1``.
+    ``xp`` selects the array module so tests can evaluate the identical
+    algebra under an mpmath shim as a high-precision oracle."""
+    ekt_m = xp.exp(-k * t)
+    emt_m = xp.exp(-mu * t)
+    one_m_ekt = -xp.expm1(-k * t)
+    ab = alpha + beta
+    km = -xp.expm1(-(k + mu) * t) / (k + mu)
     res = (
-        k
+        one_m_ekt * (1.0 + 16.0 * ab * gamma * emt_m)
+        + 4.0
+        * k
         * (
-            ((-1.0 + ekt) * (emt + 16.0 * (alpha + beta) * gamma)) / (ekt * emt * k)
-            + 4.0
-            * (
-                gamma / (ekt * (mu - k))
-                + (alpha + beta) / (k + mu)
-                - (alpha + beta) / (ekt * emt * (k + mu))
-                + (4.0 * alpha * beta) / (k + 2.0 * mu)
-                + (gamma * (1.0 / (k - mu) + (16.0 * alpha * beta) / (k + mu))) / emt
-                + (
-                    4.0
-                    * alpha
-                    * beta
-                    * ((-4.0 * gamma) / (k + mu) - 1.0 / (k + 2.0 * mu))
-                )
-                / (ekt * emt * emt)
-            )
+            gamma * ekt_m * t * _phi((mu - k) * t, xp)
+            + (ab + 16.0 * alpha * beta * gamma * emt_m) * km
+            + 4.0 * alpha * beta * -xp.expm1(-(k + 2.0 * mu) * t)
+            / (k + 2.0 * mu)
         )
-    ) / (64.0 * (1.0 - 1.0 / ekt))
+    ) / (64.0 * one_m_ekt)
     return res
 
 
@@ -122,12 +132,36 @@ def coal_tensor_single(t, mu, k, dtype=jnp.float64):
     return (counts @ table).reshape(4, 4, 4)
 
 
-def _double_integrand(alpha, beta, gamma, delta, epsilon, t, mu):
+# Half-width of the excluded band around the _double_integrand's removable
+# singularities mu in {1, 2, 3}.  Measured (tools/exp_integrand_singular.py):
+# un-guarded f64 cancellation at mu = 2 reaches 2.2e-5 at delta = 1e-6,
+# 5.7e-3 at 1e-7, nan at the exact point; with the 1e-5 nudge the error vs
+# the TRUE value stays <= ~2e-11 everywhere (the integrand is nearly flat
+# across the removable point, so the nudge itself is free).
+_MU_GUARD = 1e-5
+
+
+def _double_integrand(alpha, beta, gamma, delta, epsilon, t, mu, xp=jnp):
     """Reference JC69_analytical_integral_double
     (get_emission_prob_mat.py:120-397); two coalescences of three lineages
-    within ``t`` (pair rate 3, then 1 — baked into the constants)."""
-    em = jnp.exp(mu * t)
-    e2t = jnp.exp(2.0 * t)
+    within ``t`` (pair rate 3, then 1 — baked into the constants).
+
+    ``mu`` here is the substitution/coalescent rate ratio (model.py feeds
+    (4/3) * N_ABC, ~1e-3 in any sane configuration).  The closed form has
+    removable singularities at mu in {1, 2, 3} — reachable only at
+    pathological bound corners, where the reference returns inf/nan and
+    f64 cancellation nearby reaches 5.7e-3 relative at |mu - 2| = 1e-7
+    (tools/exp_integrand_singular.py).  mu is nudged off the singular set
+    by at most _MU_GUARD; the measured error vs the true value with the
+    nudge is <= ~2e-11 (the integrand is nearly flat across the removable
+    point).  ``xp`` selects the array module (mpmath-shim oracle in
+    tests)."""
+    for s in (1.0, 2.0, 3.0):
+        d = mu - s
+        mu = xp.where(xp.abs(d) < _MU_GUARD,
+                      s + xp.where(d < 0.0, -_MU_GUARD, _MU_GUARD), mu)
+    em = xp.exp(mu * t)
+    e2t = xp.exp(2.0 * t)
     p1 = (-1.0 + 2.0 * beta * (mu - 2.0)) * (2.0 + mu) + 2.0 * alpha * (mu - 2.0) * (
         2.0 + 8.0 * beta + mu
     )
@@ -222,12 +256,12 @@ def _double_integrand(alpha, beta, gamma, delta, epsilon, t, mu):
     ) / (em * (1.0 + mu) ** 2 * (mu2 - 4.0))
 
     inner = c1 + c2 + c3 + c4 + c5
-    a10 = (b1 + b2 + b3 + b4 + jnp.exp(2.0 * (1.0 + mu) * t) * inner) / jnp.exp(
+    a10 = (b1 + b2 + b3 + b4 + xp.exp(2.0 * (1.0 + mu) * t) * inner) / xp.exp(
         3.0 * (1.0 + mu) * t
     )
 
     total = a1 + a2 + a3 + a4 + a5 + a6 + a7 + a8 + a9 + a10
-    norm = 1024.0 * (1.0 + 0.5 / jnp.exp(3.0 * t) - 1.5 / jnp.exp(t))
+    norm = 1024.0 * (1.0 + 0.5 / xp.exp(3.0 * t) - 1.5 / xp.exp(t))
     return 3.0 * total / norm
 
 

@@ -142,9 +142,29 @@ def build_model(
     """Convenience wrapper returning an :class:`HmmModel` (the reference's
     trans_emiss_calc signature, get_trans_emiss.py:8-60).  ``cut_AB`` /
     ``cut_ABC`` optionally override the standard quantile cutpoints
-    (coalescent units; ABC may include a trailing inf, which is replaced)."""
-    fn = build_model_fn(n_int_AB, n_int_ABC, jnp.dtype(dtype).name, device)
+    (coalescent units; ABC may include a trailing inf, which is replaced).
+
+    Rebuilds of an exact parameter point are served from the on-disk
+    model-artifact cache (utils/cache.py): the optimize -> viterbi ->
+    posterior pipeline rebuilds the same best-fit model in each CLI
+    process, and the hit turns that into a ~10 ms npz load (bit-identical
+    arrays).  Opt out with ITRAILS_NO_CACHE=1."""
+    from itrails_tpu.utils import cache as _cache
+
     args = [t_A, t_B, t_C, t_2, t_upper, t_out, N_AB, N_ABC, r]
+    akey = _cache.model_artifact_key(
+        "plain", n_int_AB, n_int_ABC, jnp.dtype(dtype).name, args,
+        cut_AB, cut_ABC,
+    )
+    hit = _cache.model_artifact_get(akey)
+    if hit is not None:
+        plan = build_plan(n_int_AB, n_int_ABC)
+        return HmmModel(a=jnp.asarray(hit["a"]), b=jnp.asarray(hit["b"]),
+                        pi=jnp.asarray(hit["pi"]),
+                        hidden_states=plan.hidden_states,
+                        cut_AB=jnp.asarray(hit["cut_AB"]),
+                        cut_ABC=jnp.asarray(hit["cut_ABC"]))
+    fn = build_model_fn(n_int_AB, n_int_ABC, jnp.dtype(dtype).name, device)
     kwargs = {}
     if cut_AB is not None:
         kwargs["cut_AB"] = jnp.asarray(cut_AB, dtype)
@@ -156,6 +176,7 @@ def build_model(
             cut_ABC = cut_ABC.at[-1].set(0.0)
         kwargs["cut_ABC"] = cut_ABC
     a, b, pi, cut_ab, cut_abc = fn(*args, **kwargs)
+    _cache.model_artifact_put(akey, a, b, pi, cut_ab, cut_abc)
     plan = build_plan(n_int_AB, n_int_ABC)
     return HmmModel(a=a, b=b, pi=pi, hidden_states=plan.hidden_states,
                     cut_AB=cut_ab, cut_ABC=cut_abc)

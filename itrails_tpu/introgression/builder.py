@@ -93,6 +93,24 @@ def build_model_introgression(
     n_int_AB: int, n_int_ABC: int, dtype=jnp.float64, device="cpu",
     cut_AB=None, cut_ABC=None,
 ) -> HmmModel:
+    """Convenience wrapper (reference int_get_trans_emiss.py:9-185).
+    Exact-parameter rebuilds are served from the on-disk model-artifact
+    cache — see core.model.build_model."""
+    from itrails_tpu.utils import cache as _cache
+
+    args = [t_A, t_B, t_C, t_2, t_upper, t_out, t_m, N_AB, N_BC, N_ABC, r, m]
+    akey = _cache.model_artifact_key(
+        "int", n_int_AB, n_int_ABC, jnp.dtype(dtype).name, args,
+        cut_AB, cut_ABC,
+    )
+    hit = _cache.model_artifact_get(akey)
+    if hit is not None:
+        plan = build_plan(n_int_AB, n_int_ABC, introgression=True)
+        return HmmModel(a=jnp.asarray(hit["a"]), b=jnp.asarray(hit["b"]),
+                        pi=jnp.asarray(hit["pi"]),
+                        hidden_states=plan.hidden_states,
+                        cut_AB=jnp.asarray(hit["cut_AB"]),
+                        cut_ABC=jnp.asarray(hit["cut_ABC"]))
     fn = build_model_introgression_fn(n_int_AB, n_int_ABC,
                                       jnp.dtype(dtype).name, device)
     kwargs = {}
@@ -107,6 +125,7 @@ def build_model_introgression(
         kwargs["cut_ABC"] = cut_ABC
     a, b, pi, cut_ab, cut_abc = fn(t_A, t_B, t_C, t_2, t_upper, t_out, t_m,
                                    N_AB, N_BC, N_ABC, r, m, **kwargs)
+    _cache.model_artifact_put(akey, a, b, pi, cut_ab, cut_abc)
     plan = build_plan(n_int_AB, n_int_ABC, introgression=True)
     return HmmModel(a=a, b=b, pi=pi, hidden_states=plan.hidden_states,
                     cut_AB=cut_ab, cut_ABC=cut_abc)

@@ -1,41 +1,81 @@
-"""Persistent XLA compilation cache + model-build device selection.
+"""Persistent caches + model-build device selection.
 
-The f64 model build runs ~3x faster on the TPU than on the host CPU
-(55 ms vs ~160 ms per optimizer eval at 3x3 on this image, parity
-<= 7e-9 relative — the f64 solves use the f32-LU + iterative-refinement
-path of core/linalg.py), but its first compile through the remote tunnel
-takes minutes; the persistent cache makes that a one-time cost per
-machine and topology.
+Three layers, all opt-out via ``ITRAILS_NO_CACHE=1``:
+
+1. **XLA compilation cache** (`enable_compilation_cache`): persists
+   compiled executables across processes.  The cache directory is keyed
+   by a hash of the host CPU feature flags + the jax version, because
+   XLA:CPU AOT executables embed ISA-specific code — reloading one on a
+   different machine can SIGILL; the feature tag turns a foreign entry
+   into a clean miss instead.  TPU (tunnel) executables share the same
+   directory (their keys embed the accelerator, so they never collide).
+2. **Model-artifact cache** (`model_artifact_get`/`put`): the built
+   (a, b, pi, cuts) tensors for an exact parameter point, reused across
+   processes.  The optimize -> viterbi -> posterior pipeline rebuilds the
+   SAME best-fit model in each CLI process; the artifact hit turns that
+   cold-process rebuild into a ~10 ms npz load.
+3. **Build device** (`build_device`): always the host CPU.  Round-5
+   measurements on this image (quiet machine, support-sliced round-4
+   build): CPU cached build 36 ms vs TPU 42 ms at 3x3 — and CPU first
+   compile is 10 s vs 45-150 s through the remote TPU tunnel (the
+   round-2 numbers that favoured TPU, 55 vs 160 ms, predate the
+   support-sliced build).  f64 parity between the two is <= 7e-9
+   relative, so nothing depends on the choice.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-__all__ = ["enable_compilation_cache", "build_device"]
+__all__ = [
+    "enable_compilation_cache", "build_device",
+    "model_artifact_get", "model_artifact_put", "model_artifact_key",
+]
 
 _DONE = False
+_ARTIFACT_SCHEMA = "v1"  # bump to invalidate all stored model artifacts
+_ARTIFACT_KEEP = 64  # newest entries kept by the LRU prune
+
+
+def _cache_root() -> str:
+    return os.environ.get(
+        "ITRAILS_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "itrails_tpu"),
+    )
+
+
+def _host_tag() -> str:
+    """Hash of the CPU feature flags + jax version (see module docstring)."""
+    import jax
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha1(
+        f"{flags}|{jax.__version__}".encode()
+    ).hexdigest()[:12]
 
 
 def enable_compilation_cache():
     """Persist XLA compilations across runs (first TPU compile of the
-    decode kernels / model build is minutes; subsequent invocations start
-    hot).  Opt out with ITRAILS_NO_CACHE=1."""
+    decode kernels through the tunnel is minutes, the f64 CPU model build
+    ~10 s; subsequent processes start hot).  Opt out with
+    ITRAILS_NO_CACHE=1."""
     global _DONE
     if _DONE or os.environ.get("ITRAILS_NO_CACHE"):
         return
     import jax
 
-    if jax.default_backend() != "tpu":
-        # XLA:CPU AOT cache entries warn about machine-feature mismatches
-        # on reload (potential SIGILL); only the minutes-long TPU tunnel
-        # compiles are worth persisting
-        return
-
-    cache_dir = os.environ.get(
-        "ITRAILS_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "itrails_tpu", "xla"),
-    )
+    cache_dir = os.path.join(_cache_root(), f"xla-{_host_tag()}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -46,19 +86,88 @@ def enable_compilation_cache():
 
 
 def build_device(n_int_AB: int = 3, n_int_ABC: int = 3) -> str | None:
-    """Device for the per-eval model build: the accelerator for small
-    topologies (None = JAX default device; 55 ms vs ~160 ms CPU at 3x3),
-    the host CPU otherwise — at 7x7 the f64-emulated TPU build measured
-    ~100x slower than CPU (the deep Van Loan chains blow up under
-    emulation), so large interval counts stay on the host (2.7 s at 7x7).
-    Override with ITRAILS_BUILD_DEVICE=cpu|tpu."""
-    import jax
-
+    """Device for the per-eval model build: the host CPU (see module
+    docstring for the round-5 measurements; at 7x7 the f64-emulated TPU
+    build is ~100x slower than CPU — the deep Van Loan chains blow up
+    under emulation).  Override with ITRAILS_BUILD_DEVICE=cpu|tpu."""
     forced = os.environ.get("ITRAILS_BUILD_DEVICE", "").lower()
-    if forced == "cpu":
-        return "cpu"
     if forced in ("tpu", "default"):
         return None
-    if jax.default_backend() != "tpu":
-        return "cpu"
-    return None if n_int_AB * n_int_ABC <= 12 else "cpu"
+    return "cpu"
+
+
+# --- model-artifact cache ---------------------------------------------------
+
+
+def model_artifact_key(family: str, n_int_AB: int, n_int_ABC: int,
+                       dtype_name: str, params, cut_AB=None,
+                       cut_ABC=None) -> str:
+    """Content key for one built model: family/topology/dtype + the exact
+    f64 bit patterns of every parameter (and manual cutpoints, if any).
+    The package version and a schema tag are folded in so upgrades
+    invalidate cleanly."""
+    import numpy as np
+
+    from itrails_tpu import __version__
+
+    h = hashlib.sha1()
+    h.update(
+        f"{_ARTIFACT_SCHEMA}|{__version__}|{family}|{n_int_AB}|{n_int_ABC}|"
+        f"{dtype_name}|".encode()
+    )
+    h.update(np.asarray(params, np.float64).tobytes())
+    for cut in (cut_AB, cut_ABC):
+        h.update(b"|")
+        if cut is not None:
+            h.update(np.asarray(cut, np.float64).tobytes())
+    return h.hexdigest()
+
+
+def _artifact_dir() -> str:
+    return os.path.join(_cache_root(), "models")
+
+
+def model_artifact_get(key: str):
+    """Load a cached build, or None.  Returns dict of numpy arrays
+    (a, b, pi, cut_AB, cut_ABC) in their stored dtype — bit-identical to
+    the build that stored them (the key embeds the build dtype)."""
+    if os.environ.get("ITRAILS_NO_CACHE"):
+        return None
+    path = os.path.join(_artifact_dir(), key + ".npz")
+    try:
+        import numpy as np
+
+        with np.load(path, allow_pickle=False) as z:
+            out = {k: z[k] for k in ("a", "b", "pi", "cut_AB", "cut_ABC")}
+        os.utime(path)  # LRU touch
+        return out
+    except Exception:
+        return None
+
+
+def model_artifact_put(key: str, a, b, pi, cut_AB, cut_ABC) -> None:
+    if os.environ.get("ITRAILS_NO_CACHE"):
+        return
+    import numpy as np
+
+    d = _artifact_dir()
+    try:
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{key}.{os.getpid()}.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, a=np.asarray(a), b=np.asarray(b),
+                     pi=np.asarray(pi), cut_AB=np.asarray(cut_AB),
+                     cut_ABC=np.asarray(cut_ABC))
+        os.replace(tmp, os.path.join(d, key + ".npz"))
+        # LRU prune: keep the newest _ARTIFACT_KEEP entries
+        entries = sorted(
+            (e for e in os.scandir(d) if e.name.endswith(".npz")),
+            key=lambda e: e.stat().st_mtime, reverse=True,
+        )
+        for e in entries[_ARTIFACT_KEEP:]:
+            try:
+                os.unlink(e.path)
+            except OSError:
+                pass
+    except Exception:  # cache is an optimization, never a hard failure
+        pass

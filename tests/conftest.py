@@ -10,6 +10,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Tests must exercise the real build, never a cached artifact from an
+# earlier (possibly stale) code state; individual cache tests re-enable it
+# via monkeypatch with a tmpdir ITRAILS_CACHE_DIR.
+os.environ.setdefault("ITRAILS_NO_CACHE", "1")
+
 import jax  # noqa: E402
 
 # Something in this image pins JAX_PLATFORMS to the axon TPU plugin at

@@ -109,3 +109,38 @@ def test_parameter_recovery_optimize(tmp_path):
     best = yaml.safe_load(open(tmp_path / "fit" / "run.best_model.yaml"))
     fitted = best["optimized_parameters"]["t_1"]
     assert abs(fitted - 240000) < abs(120000 - 240000)  # moved toward truth
+
+
+def test_token_batch_matches_columnwise_sampler_statistics():
+    """simulate_token_batch (vectorised) must agree with simulate_tokens
+    (per-column) in distribution: same per-token marginals within
+    sampling noise, correct N-burst fraction, and a higher per-column
+    loglik under the generating model than uniform-random tokens."""
+    import jax.numpy as jnp
+
+    model = build_model(n_int_AB=1, n_int_ABC=2, **TRUE)
+    from itrails_tpu.data.simulate import simulate_token_batch
+
+    batch = simulate_token_batch(model, 8, 4000, seed=5, n_frac=0.0)
+    assert batch.shape == (8, 4000) and batch.dtype == np.int32
+    assert batch.min() >= 0 and batch.max() < 256
+
+    ref, _ = simulate_tokens(model, 32_000, seed=6)
+    h1 = np.bincount(batch.reshape(-1), minlength=256) / batch.size
+    h2 = np.bincount(ref, minlength=256) / ref.size
+    # total-variation distance between the two empirical marginals
+    assert 0.5 * np.abs(h1 - h2).sum() < 0.05
+
+    a, bfull, pi = _engine(model)
+    ll_sim = float(decoders.forward_loglik(
+        a, bfull, pi, jnp.asarray(batch, jnp.int32)))
+    rng = np.random.default_rng(0)
+    ll_rand = float(decoders.forward_loglik(
+        a, bfull, pi,
+        jnp.asarray(rng.integers(0, 256, size=batch.shape), jnp.int32)))
+    assert ll_sim > ll_rand + 0.5 * batch.size  # >0.5 nats/col better
+
+    # N bursts: requested ambiguous fraction within 2x either way
+    noisy = simulate_token_batch(model, 8, 4000, seed=5, n_frac=0.02)
+    frac = (noisy >= 256).mean()
+    assert 0.01 <= frac <= 0.08

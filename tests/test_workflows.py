@@ -211,3 +211,51 @@ def test_merge_decode_overrides_validation():
     args = parser.parse_args(["--mu", "1e-8", "--n_int_ABC", "2"])
     with pytest.raises(ValueError, match="n_int_AB must be specified"):
         merge_decode_overrides(args)
+
+
+def test_resolve_optim_method_defaults():
+    """The exact-gradient L-BFGS-B path is the CLI default; an explicit
+    settings.method: Nelder-Mead (reference parity) or --no-grad turns
+    it off (VERDICT r4 item 2)."""
+    import pytest
+
+    from itrails_tpu.cli.common import resolve_optim_method
+
+    implicit = {"method": "nelder-mead", "method_explicit": False}
+    explicit_nm = {"method": "nelder-mead", "method_explicit": True}
+    explicit_lb = {"method": "l-bfgs-b", "method_explicit": True}
+
+    assert resolve_optim_method(implicit, False, False) == (True, "L-BFGS-B")
+    assert resolve_optim_method(explicit_nm, False, False) == \
+        (False, "Nelder-Mead")
+    # explicit L-BFGS-B upgrades to exact gradients (the reference's
+    # L-BFGS-B is finite-difference; exact grad strictly dominates it)
+    assert resolve_optim_method(explicit_lb, False, False) == \
+        (True, "L-BFGS-B")
+    assert resolve_optim_method(explicit_nm, True, False) == \
+        (True, "L-BFGS-B")
+    # --no-grad restores the reference modes: NM, or FD L-BFGS-B
+    assert resolve_optim_method(implicit, False, True) == \
+        (False, "Nelder-Mead")
+    assert resolve_optim_method(explicit_lb, False, True) == \
+        (False, "L-BFGS-B")
+    with pytest.raises(ValueError):
+        resolve_optim_method(implicit, True, True)
+
+
+def test_optimize_cli_default_is_exact_grad(tmp_path, capsys):
+    """With no settings.method in the config, the CLI runs the
+    exact-gradient L-BFGS-B path end to end."""
+    from itrails_tpu.cli.optimize import main
+
+    cfg = _optimize_config(tmp_path)
+    del cfg["settings"]["method"]
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out = tmp_path / "run" / "test"
+    main([str(cfg_path), "--output", str(out), "--maxiter", "2"])
+    assert "L-BFGS-B, exact gradients" in capsys.readouterr().out
+    hist = list(csv.reader(open(tmp_path / "run" /
+                                "test.optimization_history.csv")))
+    assert len(hist) >= 3

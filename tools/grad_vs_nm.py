@@ -1,4 +1,5 @@
-"""Quantify the exact-gradient optimizer path (VERDICT round-2 item 6).
+"""Quantify the exact-gradient optimizer path (VERDICT round-2 item 6,
+round-4 item 2: prove it at scale and across the migration case algebra).
 
 Simulates a ~1 Mb alignment from known parameters (BASELINE config 2
 shape), then runs the outer optimizer from the same perturbed start with
@@ -7,6 +8,13 @@ shape), then runs the outer optimizer from the same perturbed start with
      its only L-BFGS-B mode is finite-difference, optimizer.py:620-637);
   2. L-BFGS-B with the exact-gradient objective (`use_grad=True` —
      checkpointed decode VJP + CPU-f64 build VJP, hmm/grad.py).
+
+Four configurations:
+  * plain 3x3, 6 free parameters (the round-2/3/4 config)
+  * plain 7x7 (M=133), 6 free parameters — the build VJP dominates here
+  * introgression 3x3, 2 free parameters (the round-4 config)
+  * introgression 3x3, 5 free parameters across the migration case
+    algebra (t_1, t_m, m, N_BC, N_AB — optim/cases.py:93-149)
 
 Records evals-to-convergence, wall-clock, and best loglik to
 GRADEVAL.json at the repo root.  Run on the TPU:
@@ -39,33 +47,47 @@ X0 = [0.0030, 0.00032, 0.00040, 0.00062, 1.6, 0.0060]
 BOUNDS = [(0.00024, 0.024), (4e-5, 0.004), (5e-5, 0.005), (5e-5, 0.005),
           (0.1, 10.0), (74506.9385e-8, 7450693.8556e-8)]
 
-
 INT_FIXED = dict(t_2=0.0004, t_m=0.0008, t_upper=745069.3855e-8,
                  N_AB=0.0005, N_BC=0.0004, N_ABC=0.0005, r=1.0)
-INT_VARS = ["t_1", "m"]
-INT_X0 = [0.0030, 0.25]
-INT_BOUNDS = [(0.00024, 0.024), (0.001, 0.99)]
+
+CONFIGS = {
+    # label: (introgression, n_int, vars, x0, bounds, fixed_overrides,
+    #         nm_maxiter, grad_maxiter)
+    "plain3x3": (False, 3, VARS, X0, BOUNDS, {}, 600, 200),
+    "plain7x7": (False, 7, VARS, X0, BOUNDS, {}, 300, 60),
+    "int2p": (True, 3, ["t_1", "m"], [0.0030, 0.25],
+              [(0.00024, 0.024), (0.001, 0.99)], {}, 200, 80),
+    # >=5 free parameters across the migration case algebra
+    # (VERDICT r4 item 2a): t_1 drives resolve_times_introgression's
+    # t_B=t_C=t_1-t_m coupling, t_m/m the migration epoch itself
+    "int5p": (True, 3, ["t_1", "t_m", "m", "N_BC", "N_AB"],
+              [0.0030, 0.0006, 0.25, 0.00055, 0.00040],
+              [(0.00024, 0.024), (1e-4, 0.003), (0.001, 0.99),
+               (5e-5, 0.005), (5e-5, 0.005)], {}, 400, 120),
+}
 
 
-def run(method, use_grad, v_lst, workdir, maxiter, introgression=False):
+def run(label, method, use_grad, v_lst, workdir):
     from itrails_tpu.optim.optimizer import optimizer
 
+    (intro, n_int, variables, x0, bounds, fixed_over,
+     nm_iter, gr_iter) = CONFIGS[label]
     os.makedirs(workdir, exist_ok=True)
-    if introgression:
-        variables, x0, bounds = INT_VARS, INT_X0, INT_BOUNDS
-        fixed = {"n_int_AB": 3, "n_int_ABC": 3, **INT_FIXED}
-    else:
-        variables, x0, bounds = VARS, X0, BOUNDS
-        fixed = {"n_int_AB": 3, "n_int_ABC": 3}
+    fixed = {"n_int_AB": n_int, "n_int_ABC": n_int}
+    if intro:
+        fixed.update(INT_FIXED)
+    fixed.update(fixed_over)
+    for v in variables:  # a free variable must not also be fixed
+        fixed.pop(v, None)
     t0 = time.time()
     res = optimizer(
         variables, list(x0), list(bounds), fixed,
         v_lst, os.path.join(workdir, "run"), frozenset(["t_1"]),
-        method=method, maxiter=maxiter, dtype="float64",
-        use_grad=use_grad, introgression=introgression,
+        method=method, maxiter=(gr_iter if use_grad else nm_iter),
+        dtype="float64", use_grad=use_grad, introgression=intro,
     )
     dt = time.time() - t0
-    sep = "_" if introgression else "."
+    sep = "_" if intro else "."
     hist = np.loadtxt(
         os.path.join(workdir, f"run{sep}optimization_history.csv"),
         delimiter=",", skiprows=1, ndmin=2)
@@ -77,7 +99,8 @@ def run(method, use_grad, v_lst, workdir, maxiter, introgression=False):
     # evals to reach within 1 loglik unit of this run's best
     reach = int(np.argmax(finite >= best - 1.0)) + 1
     return {
-        "family": "introgression" if introgression else "plain",
+        "config": label,
+        "n_free_params": len(variables),
         "method": method + ("+grad" if use_grad else ""),
         "n_evals": int(hist.shape[0]),
         "wall_s": round(dt, 2),
@@ -94,70 +117,91 @@ def main():
     from itrails_tpu.core.model import build_model
     from itrails_tpu.data.maf import maf_tokens
     from itrails_tpu.data.simulate import simulate_maf
+    from itrails_tpu.introgression.builder import build_model_introgression
     from itrails_tpu.utils.cache import build_device, enable_compilation_cache
 
     enable_compilation_cache()
-    model = build_model(**TRUE, n_int_AB=3, n_int_ABC=3, dtype="float64",
-                        device=build_device(3, 3))
+    only = set(sys.argv[1:]) or set(CONFIGS)
     species = ["hg38", "panTro5", "gorGor5", "ponAbe2"]
+    rows = []
     with tempfile.TemporaryDirectory() as tmp:
+        # plain data: simulated from the plain truth
+        model = build_model(**TRUE, n_int_AB=3, n_int_ABC=3,
+                            dtype="float64", device=build_device(3, 3))
         maf = os.path.join(tmp, "sim.maf")
         simulate_maf(maf, model, species, n_blocks=256, block_len=4096,
                      seed=3)
         v_lst = maf_tokens(maf, species)
-        rows = [
-            run("Nelder-Mead", False, v_lst, os.path.join(tmp, "nm"),
-                maxiter=600),
-            run("L-BFGS-B", True, v_lst, os.path.join(tmp, "lb"),
-                maxiter=200),
-            run("Nelder-Mead", False, v_lst, os.path.join(tmp, "inm"),
-                maxiter=200, introgression=True),
-            run("L-BFGS-B", True, v_lst, os.path.join(tmp, "ilb"),
-                maxiter=80, introgression=True),
-        ]
-    # wall-clock to convergence (reach best-1 loglik), computed per family
+        # introgression data: simulated from an introgression truth so the
+        # migration parameters (t_m, m, N_BC) are actually identifiable
+        int_model = build_model_introgression(
+            t_A=0.0024, t_B=0.0016, t_C=0.0016, **INT_FIXED,
+            m=0.15, n_int_AB=3, n_int_ABC=3, dtype="float64",
+            device=build_device(3, 3))
+        int_maf = os.path.join(tmp, "int_sim.maf")
+        simulate_maf(int_maf, int_model, species, n_blocks=256,
+                     block_len=4096, seed=4)
+        int_v_lst = maf_tokens(int_maf, species)
+
+        for label in CONFIGS:
+            if label not in only:
+                continue
+            data = int_v_lst if CONFIGS[label][0] else v_lst
+            rows.append(run(label, "Nelder-Mead", False, data,
+                            os.path.join(tmp, f"{label}_nm")))
+            print(json.dumps(rows[-1]), flush=True)
+            rows.append(run(label, "L-BFGS-B", True, data,
+                            os.path.join(tmp, f"{label}_gr")))
+            print(json.dumps(rows[-1]), flush=True)
+
+    # wall-clock to convergence (reach best-1 loglik), per configuration
     summary = {}
-    for fam in ("plain", "introgression"):
-        fam_rows = [r for r in rows if r["family"] == fam]
-        for r in fam_rows:
+    for label in {r["config"] for r in rows}:
+        pair = [r for r in rows if r["config"] == label]
+        for r in pair:
             r["wall_to_best_minus_1_s"] = round(
-                r["s_per_eval"] * r["evals_to_best_minus_1"], 2
-            )
-        nm = next(r for r in fam_rows if "grad" not in r["method"])
-        gr = next(r for r in fam_rows if "grad" in r["method"])
-        summary[fam] = {
+                r["s_per_eval"] * r["evals_to_best_minus_1"], 2)
+        nm = next(r for r in pair if "grad" not in r["method"])
+        gr = next(r for r in pair if "grad" in r["method"])
+        summary[label] = {
             "nm_wall_to_conv_s": nm["wall_to_best_minus_1_s"],
             "grad_wall_to_conv_s": gr["wall_to_best_minus_1_s"],
             "grad_speedup": round(
                 nm["wall_to_best_minus_1_s"]
-                / max(gr["wall_to_best_minus_1_s"], 1e-9), 2
-            ),
+                / max(gr["wall_to_best_minus_1_s"], 1e-9), 2),
             "grad_matches_or_beats_nm_loglik": bool(
-                gr["best_loglik"] >= nm["best_loglik"] - 1.0
-            ),
+                gr["best_loglik"] >= nm["best_loglik"] - 1.0),
         }
     out = {
         "conclusion": (
             "wall-clock to convergence (time to reach within 1 loglik "
             "unit of each run's best), exact-gradient L-BFGS-B vs "
-            f"Nelder-Mead: {json.dumps(summary)}.  Round-4 changes: "
-            "scaled search space (z = x/|x0|), direct Pade-13 Frechet "
-            "expm VJP, and the orbit/support-sliced build halving the "
-            "host-side VJP cost."
+            f"Nelder-Mead: {json.dumps(summary, sort_keys=True)}"
         ),
-        "config": "BASELINE config 2 shape: 256 x 4096 = 1.05 Mcol simulated "
-                  "alignment, 3x3 model, 6 free parameters, common start",
+        "config": "BASELINE config 2 shape: 256 x 4096 = 1.05 Mcol "
+                  "simulated alignment per family (plain truth / "
+                  "introgression truth with m=0.15), common start",
         "reference_contrast": "the reference optimizer is Nelder-Mead or "
                               "finite-difference L-BFGS-B only "
                               "(optimizer.py:620-637); the exact-gradient "
                               "path has no reference counterpart",
         "platform": jax.default_backend(),
+        "summary": summary,
         "rows": rows,
     }
     path = os.path.join(REPO, "GRADEVAL.json")
+    if only != set(CONFIGS):  # partial rerun: merge into the existing file
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            keep = [r for r in prev.get("rows", [])
+                    if r.get("config") not in only]
+            out["rows"] = keep + out["rows"]
+        except Exception:
+            pass
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out["rows"], indent=1))
+    print(json.dumps(summary, indent=1))
     print(f"wrote {path}")
 
 
