@@ -223,6 +223,10 @@ def main():
                 f"error: {type(e).__name__}: {e}"[:160])
 
     # ---- plain 3x3 (M=27): headline -------------------------------------
+    # warm the accelerator tunnel OUTSIDE any timed region: the very first
+    # dispatch through it measured 20-120 s of handshake, which would
+    # otherwise be booked against whatever build/decode happens first
+    np.asarray(jax.device_put(jnp.ones((8,), jnp.float32), dev) + 1.0)
     bdev = ucache.build_device(3, 3)
     akey = ucache.model_artifact_key(
         "plain", 3, 3, "float64", list(PLAIN.values()))
@@ -245,13 +249,18 @@ def main():
     # keep the cached-build / per-eval timings free of disk IO (the XLA
     # compile cache stays enabled; its config is already applied)
     os.environ["ITRAILS_NO_CACHE"] = "1"
-    # second build: the jit-cached per-optimizer-eval cost
-    t0 = time.time()
-    model = build_model(**{**PLAIN, "t_A": 0.00241, "N_ABC": 0.00051},
-                        n_int_AB=3, n_int_ABC=3, dtype="float64",
-                        device=bdev)
-    np.asarray(model.a)  # materialize: block_until_ready lies on axon
-    build_eval_s = time.time() - t0
+    # steady-state per-eval build cost: median of the later rebuilds (the
+    # first may still pay trace+lower+cache-deserialize when the initial
+    # build above was served from the artifact cache and never jitted)
+    bts = []
+    for k in range(3):
+        t0 = time.time()
+        model = build_model(
+            **{**PLAIN, "t_A": 0.00241 + 1e-6 * k, "N_ABC": 0.00051},
+            n_int_AB=3, n_int_ABC=3, dtype="float64", device=bdev)
+        np.asarray(model.a)  # materialize: block_until_ready lies on axon
+        bts.append(time.time() - t0)
+    build_eval_s = float(np.median(bts[1:]))
 
     a, pi_ = (jnp.asarray(model.a, cast), jnp.asarray(model.pi, cast))
     bfull = decoders.emission_table(jnp.asarray(model.b, cast), agg)

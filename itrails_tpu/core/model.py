@@ -159,11 +159,17 @@ def build_model(
     hit = _cache.model_artifact_get(akey)
     if hit is not None:
         plan = build_plan(n_int_AB, n_int_ABC)
-        return HmmModel(a=jnp.asarray(hit["a"]), b=jnp.asarray(hit["b"]),
-                        pi=jnp.asarray(hit["pi"]),
+        # place like the build path would: committed to `device` when one
+        # is named (an uncommitted put on a TPU-default process would drag
+        # the arrays through the accelerator tunnel)
+        dev = jax.devices(device)[0] if device is not None else None
+        put = (lambda x: jax.device_put(jnp.asarray(x), dev)) if dev \
+            else jnp.asarray
+        return HmmModel(a=put(hit["a"]), b=put(hit["b"]),
+                        pi=put(hit["pi"]),
                         hidden_states=plan.hidden_states,
-                        cut_AB=jnp.asarray(hit["cut_AB"]),
-                        cut_ABC=jnp.asarray(hit["cut_ABC"]))
+                        cut_AB=put(hit["cut_AB"]),
+                        cut_ABC=put(hit["cut_ABC"]))
     fn = build_model_fn(n_int_AB, n_int_ABC, jnp.dtype(dtype).name, device)
     kwargs = {}
     if cut_AB is not None:

@@ -190,8 +190,12 @@ def forward_loglik_long(a, bfull, pi, tokens, chunk: int = 256):
         [rest, jnp.full((padded - (t_len - 1),), PAD_TOKEN, tokens.dtype)]
     )
     ops, logz = chunk_operators(a, bfull, rest, chunk)
-    # ordered product of all chunk operators (prefix scan, take the last)
-    g_all, z_all = lax.associative_scan(_combine, (ops, logz))
+    # ordered product of all chunk operators (prefix scan, take the last).
+    # The log-normalizer leg accumulates in f64 (no-op without x64): a
+    # chromosome-scale block reaches |logz| ~ 1e8 nats, where f32 adds
+    # quantize at ~8 nats — coarse enough to flatten optimizer steps.
+    g_all, z_all = lax.associative_scan(
+        _combine, (ops, logz.astype(jnp.float64)))
     g = g_all[-1]
     z = z_all[-1]
     alpha0 = pi * bfull.T[jnp.maximum(first, 0)]
@@ -217,7 +221,8 @@ def forward_loglik_long_remat(a, bfull, pi, tokens, chunk: int = 512,
     first = tokens[0]
     alpha0 = pi * bfull.T[jnp.maximum(first, 0)]
     s0 = jnp.maximum(jnp.sum(alpha0), jnp.finfo(a.dtype).tiny)
-    carry0 = (alpha0 / s0, jnp.log(s0))
+    # f64 outer log-normalizer carry (see forward_loglik_long)
+    carry0 = (alpha0 / s0, jnp.log(s0).astype(jnp.float64))
 
     stream_len = t_len - 1
     if stream_len == 0:

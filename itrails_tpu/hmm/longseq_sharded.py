@@ -73,8 +73,10 @@ def sharded_forward_loglik_long_fn(mesh: Mesh, chunk: int = 256):
     )
     def f(a, bfull, pi, first, tok):
         # local chunk operators, then an ordered local fold
+        # f64 log-normalizer leg, as in longseq.forward_loglik_long
         ops, logz = chunk_operators(a, bfull, tok.reshape(-1), chunk)
-        g_all, z_all = lax.associative_scan(_combine, (ops, logz))
+        g_all, z_all = lax.associative_scan(
+            _combine, (ops, logz.astype(jnp.float64)))
         g_loc, z_loc = g_all[-1], z_all[-1]
         # one collective: every device sees every shard's (M, M) operator
         g_sh = lax.all_gather(g_loc, "data")  # (n_dev, M, M)

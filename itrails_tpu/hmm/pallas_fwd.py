@@ -422,9 +422,13 @@ def forward_fused(a, bfull, pi, tokens, *, block_w: int = 4096,
 
 
 def forward_loglik_fused(a, bfull, pi, tokens, **kw):
-    """Total log-likelihood of a (W, T) token batch via the fused kernel."""
+    """Total log-likelihood of a (W, T) token batch via the fused kernel.
+    The per-window values are summed in f64 (when x64 is on): a genome-
+    scale total is ~1e6 nats where one f32 ULP is 0.125 — coarse enough
+    to quantize away a short optimizer step's true improvement (see
+    pallas_grad.loglik_and_grads_fused)."""
     _, ll = forward_fused(a, bfull, pi, tokens, **kw)
-    return jnp.sum(ll)
+    return jnp.sum(ll.astype(jnp.float64))
 
 
 def _kernel_alpha(tok_ref, al0_ref, acc0_ref, btcat_ref, at_ref,

@@ -322,5 +322,12 @@ def loglik_and_grads_fused(a, bfull, pi, tokens, *, block_w: int = 512,
 
     da = da_p[:m, :m].astype(a.dtype)
     db = (db_p[:m, :_K] + db0).astype(a.dtype)
-    total = jnp.sum(ll[0, :w])
+    # f64 accumulation of the per-window logliks: at genome scale the
+    # total is ~1e6 nats, where one f32 ULP is 0.125 — coarse enough that
+    # a short L-BFGS-B line-search step can quantize to ZERO objective
+    # change and trigger scipy's relative-reduction stop at the start
+    # point (the round-5 int5p stall).  Summing the (W,) f32 values in
+    # f64 keeps the objective continuous at ~per-window-ULP (5e-4)
+    # resolution.  (No-op when x64 is disabled.)
+    total = jnp.sum(ll[0, :w].astype(jnp.float64))
     return total, (da, db, dpi.astype(a.dtype))

@@ -106,11 +106,15 @@ def build_model_introgression(
     hit = _cache.model_artifact_get(akey)
     if hit is not None:
         plan = build_plan(n_int_AB, n_int_ABC, introgression=True)
-        return HmmModel(a=jnp.asarray(hit["a"]), b=jnp.asarray(hit["b"]),
-                        pi=jnp.asarray(hit["pi"]),
+        # placement mirrors core.model.build_model's artifact-hit path
+        dev = jax.devices(device)[0] if device is not None else None
+        put = (lambda x: jax.device_put(jnp.asarray(x), dev)) if dev \
+            else jnp.asarray
+        return HmmModel(a=put(hit["a"]), b=put(hit["b"]),
+                        pi=put(hit["pi"]),
                         hidden_states=plan.hidden_states,
-                        cut_AB=jnp.asarray(hit["cut_AB"]),
-                        cut_ABC=jnp.asarray(hit["cut_ABC"]))
+                        cut_AB=put(hit["cut_AB"]),
+                        cut_ABC=put(hit["cut_ABC"]))
     fn = build_model_introgression_fn(n_int_AB, n_int_ABC,
                                       jnp.dtype(dtype).name, device)
     kwargs = {}

@@ -98,6 +98,15 @@ def run(label, method, use_grad, v_lst, workdir):
     finite = np.nan_to_num(lls, nan=-np.inf)
     # evals to reach within 1 loglik unit of this run's best
     reach = int(np.argmax(finite >= best - 1.0)) + 1
+    # the history's cumulative-seconds column gives the TRUE wall clock of
+    # each eval: wall_to_conv reads the timestamp at the reach eval, and
+    # the steady-state per-eval cost is the median inter-eval gap after
+    # warmup — without this, the one-time first-eval jit compile (absent
+    # in any warm-cache production run) is smeared over the few dozen
+    # grad evals and biases the comparison toward the 300-eval NM runs.
+    tstamps = hist[:, -1]
+    steady = (float(np.median(np.diff(tstamps[2:])))
+              if hist.shape[0] > 4 else dt / hist.shape[0])
     return {
         "config": label,
         "n_free_params": len(variables),
@@ -105,8 +114,12 @@ def run(label, method, use_grad, v_lst, workdir):
         "n_evals": int(hist.shape[0]),
         "wall_s": round(dt, 2),
         "s_per_eval": round(dt / hist.shape[0], 4),
+        "s_per_eval_steady": round(steady, 4),
+        "first_eval_s": round(float(tstamps[0]), 2),
         "best_loglik": best,
         "evals_to_best_minus_1": reach,
+        "wall_to_best_minus_1_s": round(float(tstamps[reach - 1]), 2),
+        "wall_to_conv_steady_s": round(steady * reach, 2),
         "final_x": [float(v) for v in np.asarray(res.x)],
     }
 
@@ -135,8 +148,8 @@ def main():
         # introgression data: simulated from an introgression truth so the
         # migration parameters (t_m, m, N_BC) are actually identifiable
         int_model = build_model_introgression(
-            t_A=0.0024, t_B=0.0016, t_C=0.0016, **INT_FIXED,
-            m=0.15, n_int_AB=3, n_int_ABC=3, dtype="float64",
+            t_A=0.0024, t_B=0.0016, t_C=0.0016, t_out=0.009312,
+            **INT_FIXED, m=0.15, n_int_AB=3, n_int_ABC=3, dtype="float64",
             device=build_device(3, 3))
         int_maf = os.path.join(tmp, "int_sim.maf")
         simulate_maf(int_maf, int_model, species, n_blocks=256,
@@ -154,13 +167,12 @@ def main():
                             os.path.join(tmp, f"{label}_gr")))
             print(json.dumps(rows[-1]), flush=True)
 
-    # wall-clock to convergence (reach best-1 loglik), per configuration
+    # wall-clock to convergence (reach best-1 loglik), per configuration;
+    # reported both as recorded (incl. the grad path's one-time first-eval
+    # jit compile) and steady-state (the warm-cache production cost)
     summary = {}
     for label in {r["config"] for r in rows}:
         pair = [r for r in rows if r["config"] == label]
-        for r in pair:
-            r["wall_to_best_minus_1_s"] = round(
-                r["s_per_eval"] * r["evals_to_best_minus_1"], 2)
         nm = next(r for r in pair if "grad" not in r["method"])
         gr = next(r for r in pair if "grad" in r["method"])
         summary[label] = {
@@ -169,6 +181,9 @@ def main():
             "grad_speedup": round(
                 nm["wall_to_best_minus_1_s"]
                 / max(gr["wall_to_best_minus_1_s"], 1e-9), 2),
+            "grad_speedup_steady": round(
+                nm["wall_to_conv_steady_s"]
+                / max(gr["wall_to_conv_steady_s"], 1e-9), 2),
             "grad_matches_or_beats_nm_loglik": bool(
                 gr["best_loglik"] >= nm["best_loglik"] - 1.0),
         }
