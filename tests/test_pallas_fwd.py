@@ -240,3 +240,31 @@ def test_fwd_block_w_caps_large_models():
         bw = pallas_fwd._fwd_block_w(mp, 10**6, 8192)
         assert bw >= 128 and bw % 128 == 0
         assert (640 * 2 + mp * 8 + 3 * mp * 4) * bw <= 12 * 2**20
+
+
+def test_fused_total_accumulates_in_f64():
+    """Genome-scale regression (round-5 int5p stall): the fused forward's
+    TOTAL loglik must be the f64 sum of the per-window values — an f32
+    total at |ll| ~ 1e6 quantizes at 0.125 nats, which collapsed short
+    L-BFGS-B steps to zero objective change and stalled the optimizer at
+    its start point."""
+    import jax
+
+    a, bfull, pi = _random_model(27, seed=3)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 625, size=(64, 256)), jnp.int32)
+    total = pallas_fwd.forward_loglik_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=16, interpret=True)
+    assert total.dtype == jnp.float64
+    _, per_window = pallas_fwd.forward_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=16, interpret=True)
+    want = np.sum(np.asarray(per_window, np.float64))
+    # exact f64 summation of the same per-window values (not f32-rounded)
+    np.testing.assert_allclose(float(total), want, rtol=0, atol=1e-9)
+
+    from itrails_tpu.hmm import pallas_grad
+
+    ll_g, _ = pallas_grad.loglik_and_grads_fused(
+        a, bfull, pi, tokens, block_w=128, chunk_t=16, interpret=True)
+    assert ll_g.dtype == jnp.float64
+    np.testing.assert_allclose(float(ll_g), want, rtol=0, atol=0.5)

@@ -17,16 +17,22 @@ unrolled 2-D running max, nacc=4 chains) — instantiated at f32, bf16, and
 int16 over identical data, T steps, same grid.  Any candidate-pass win
 must show up here as raw per-op throughput.
 
-MEASURED RESULT (TPU v5e, Mp=136, BW=512, T=2048) — run this file for
-fresh numbers; the committed run is summarised in the module tail and in
-ROUND5.md:
+MEASURED RESULT (TPU v5e, Mp=136, BW=512, T=2048, 2026-08-21):
 
-    f32   : baseline (the production kernel's rate)
-    bf16  : ~1.0x f32 — NO speedup: the v5e VPU computes in 32-bit lanes;
-            bf16 operands are promoted, so element width does not change
-            the op rate (it only halves memory traffic, and this kernel
-            is instruction-issue bound, not bandwidth bound)
-    int16 : ~1.0x f32 — same reason (i32 lanes)
+    f32   :  39.11 ms  (baseline)
+    bf16  :  38.86 ms  — 1.01x f32: NO speedup.  The v5e VPU computes in
+             32-bit lanes; bf16 operands are promoted, so element width
+             does not change the op rate (it only halves memory traffic,
+             and this kernel is instruction-issue bound, not bandwidth
+             bound)
+    int16 :  Mosaic COMPILE REJECTION (remote tpu_compile_helper error) —
+             the int16 add/max slab pattern does not even legalise on
+             this target, let alone run faster
+
+(The micro-kernel's absolute rate is below the tuned production kernel's
+— single unblocked call, small BW — but the comparison is controlled:
+identical op sequence, only the element dtype differs, so a packed-lane
+advantage would necessarily show here.)
 
 Conclusion: the reduced-precision candidate pass CANNOT reach 2x on this
 hardware — the pass itself would run at the same op rate as the exact

@@ -121,6 +121,8 @@ def run(label, method, use_grad, v_lst, workdir):
         "wall_to_best_minus_1_s": round(float(tstamps[reach - 1]), 2),
         "wall_to_conv_steady_s": round(steady * reach, 2),
         "final_x": [float(v) for v in np.asarray(res.x)],
+        "_lls": finite,  # stripped before the JSON is written
+        "_ts": tstamps,
     }
 
 
@@ -160,12 +162,15 @@ def main():
             if label not in only:
                 continue
             data = int_v_lst if CONFIGS[label][0] else v_lst
+            def _pub(r):
+                return {k: v for k, v in r.items() if not k.startswith("_")}
+
             rows.append(run(label, "Nelder-Mead", False, data,
                             os.path.join(tmp, f"{label}_nm")))
-            print(json.dumps(rows[-1]), flush=True)
+            print(json.dumps(_pub(rows[-1])), flush=True)
             rows.append(run(label, "L-BFGS-B", True, data,
                             os.path.join(tmp, f"{label}_gr")))
-            print(json.dumps(rows[-1]), flush=True)
+            print(json.dumps(_pub(rows[-1])), flush=True)
 
     # wall-clock to convergence (reach best-1 loglik), per configuration;
     # reported both as recorded (incl. the grad path's one-time first-eval
@@ -186,7 +191,26 @@ def main():
                 / max(gr["wall_to_conv_steady_s"], 1e-9), 2),
             "grad_matches_or_beats_nm_loglik": bool(
                 gr["best_loglik"] >= nm["best_loglik"] - 1.0),
+            "grad_loglik_advantage": round(
+                gr["best_loglik"] - nm["best_loglik"], 2),
         }
+        # time each method needs to reach the COMMON attainable level
+        # (1 nat below the WORSE of the two bests): "to own best" rewards
+        # a method for converging early to a worse optimum, so it is not
+        # comparable across methods with different final logliks
+        if "_lls" in nm and "_lls" in gr:
+            level = min(nm["best_loglik"], gr["best_loglik"]) - 1.0
+            for tag, r in (("nm", nm), ("grad", gr)):
+                idx = int(np.argmax(r["_lls"] >= level))
+                summary[label][f"{tag}_wall_to_common_level_s"] = round(
+                    float(r["_ts"][idx]), 2)
+            summary[label]["grad_speedup_common_level"] = round(
+                summary[label]["nm_wall_to_common_level_s"]
+                / max(summary[label]["grad_wall_to_common_level_s"], 1e-9),
+                2)
+    for r in rows:
+        r.pop("_lls", None)
+        r.pop("_ts", None)
     out = {
         "conclusion": (
             "wall-clock to convergence (time to reach within 1 loglik "
