@@ -159,17 +159,17 @@ def build_model(
     hit = _cache.model_artifact_get(akey)
     if hit is not None:
         plan = build_plan(n_int_AB, n_int_ABC)
-        # place like the build path would: committed to `device` when one
-        # is named (an uncommitted put on a TPU-default process would drag
-        # the arrays through the accelerator tunnel)
-        dev = jax.devices(device)[0] if device is not None else None
-        put = (lambda x: jax.device_put(jnp.asarray(x), dev)) if dev \
-            else jnp.asarray
-        return HmmModel(a=put(hit["a"]), b=put(hit["b"]),
-                        pi=put(hit["pi"]),
+        # place like the build path would: created under default_device
+        # the arrays live on `device` but stay UNCOMMITTED, so downstream
+        # accelerator ops can pull them freely (an explicit device_put
+        # would commit them and break mixed-device decode calls), and a
+        # TPU-default process does not drag them through the tunnel
+        with jax.default_device(jax.devices(device)[0]
+                                if device is not None else None):
+            out = {k: jnp.asarray(v) for k, v in hit.items()}
+        return HmmModel(a=out["a"], b=out["b"], pi=out["pi"],
                         hidden_states=plan.hidden_states,
-                        cut_AB=put(hit["cut_AB"]),
-                        cut_ABC=put(hit["cut_ABC"]))
+                        cut_AB=out["cut_AB"], cut_ABC=out["cut_ABC"])
     fn = build_model_fn(n_int_AB, n_int_ABC, jnp.dtype(dtype).name, device)
     kwargs = {}
     if cut_AB is not None:

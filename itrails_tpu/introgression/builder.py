@@ -107,14 +107,13 @@ def build_model_introgression(
     if hit is not None:
         plan = build_plan(n_int_AB, n_int_ABC, introgression=True)
         # placement mirrors core.model.build_model's artifact-hit path
-        dev = jax.devices(device)[0] if device is not None else None
-        put = (lambda x: jax.device_put(jnp.asarray(x), dev)) if dev \
-            else jnp.asarray
-        return HmmModel(a=put(hit["a"]), b=put(hit["b"]),
-                        pi=put(hit["pi"]),
+        # (on `device` but uncommitted)
+        with jax.default_device(jax.devices(device)[0]
+                                if device is not None else None):
+            out = {k: jnp.asarray(v) for k, v in hit.items()}
+        return HmmModel(a=out["a"], b=out["b"], pi=out["pi"],
                         hidden_states=plan.hidden_states,
-                        cut_AB=put(hit["cut_AB"]),
-                        cut_ABC=put(hit["cut_ABC"]))
+                        cut_AB=out["cut_AB"], cut_ABC=out["cut_ABC"])
     fn = build_model_introgression_fn(n_int_AB, n_int_ABC,
                                       jnp.dtype(dtype).name, device)
     kwargs = {}

@@ -82,3 +82,29 @@ def test_lru_prune(cache_env, monkeypatch):
                                   np.zeros(2), np.zeros(2), np.zeros(2))
     names = {p.name for p in (cache_env / "models").glob("*.npz")}
     assert len(names) == 3 and "key4.npz" in names
+
+
+def test_artifact_hit_arrays_are_uncommitted(cache_env):
+    """Round-5 regression (caught by tools/smoke_cli.py on TPU): the
+    artifact-hit path must return UNCOMMITTED arrays like the jit build
+    path does — an explicit device_put commits them, and a later sharded
+    decode mixing them with accelerator-placed tokens raises
+    'incompatible devices'.  Proxy check on the virtual mesh: a hit-path
+    table must be consumable in one jit together with an array committed
+    to a DIFFERENT device."""
+    import jax
+    import jax.numpy as jnp
+
+    build_model(**PARAMS, n_int_AB=1, n_int_ABC=1, dtype="float64",
+                device="cpu")  # populate
+    m = build_model(**PARAMS, n_int_AB=1, n_int_ABC=1, dtype="float64",
+                    device="cpu")  # artifact hit
+    devs = jax.devices()
+    if len(devs) < 2:
+        import pytest
+
+        pytest.skip("needs >= 2 devices (virtual mesh)")
+    other = jax.device_put(jnp.ones((4,), m.a.dtype), devs[1])
+    # committed-to-dev0 a + committed-to-dev1 other would raise here
+    out = jax.jit(lambda a, x: a.sum() + x.sum())(m.a, other)
+    assert jnp.isfinite(out)
