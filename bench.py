@@ -196,9 +196,50 @@ def main():
                 extras[key] = f"error: {type(e).__name__}: {e}"[:160]
         return a, bfull, pi
 
-    def eval_loop(prefix, build_fn, fwd, a, bfull, pi):
+    def warm_eval(prefix, family, n_ab, n_abc, base_params, fwd, mb):
+        """Per-eval wall clock with the background-warmed ACCELERATOR
+        builder (utils/cache.py) — the configuration the optimize CLI
+        switches to mid-run once the accelerator build compiles and
+        verifies.  Returns the median seconds, or None when warming does
+        not apply / did not become ready in time."""
+        try:
+            h = ucache.accel_builder_handle(family, n_ab, n_abc, "float64")
+            if h is None:
+                return None
+            names = list(base_params)
+            h.kick(tuple(base_params.values()))
+            if not h.wait(180.0):
+                extras[f"{prefix}accel_builder"] = (
+                    f"{h.state}: {h.detail}"[:160])
+                return None
+            extras[f"{prefix}accel_builder"] = h.detail
+            extras[f"{prefix}accel_builder_warm_s"] = round(
+                float(h.warm_seconds), 1)
+
+            def one(da):
+                p = {**base_params, "t_A": base_params["t_A"] + da}
+                a2, b2, p2, _, _ = h.fn(*[p[k] for k in names])
+                b2f = decoders.emission_table(jnp.asarray(b2, cast), agg)
+                return float(fwd(jnp.asarray(a2, cast), b2f,
+                                 jnp.asarray(p2, cast), mb))
+
+            one(1.9e-5)  # warm this composition
+            ts = []
+            for k in range(5):
+                t0 = time.time()
+                one(1e-6 * (k + 11))
+                ts.append(time.time() - t0)
+            return float(np.median(ts))
+        except Exception as e:
+            extras[f"{prefix}accel_builder"] = (
+                f"error: {type(e).__name__}: {e}"[:160])
+            return None
+
+    def eval_loop(prefix, build_fn, fwd, a, bfull, pi, warm=None):
         """Full optimizer-evaluation wall clock: model rebuild + forward
-        likelihood on a 1 Mb batch (BASELINE config 2 shape)."""
+        likelihood on a 1 Mb batch (BASELINE config 2 shape).  ``warm``
+        = (family, n_ab, n_abc, base_params) re-times with the switched
+        accelerator builder when the warm gate admits the config."""
         try:
             mb = jax.device_put(
                 jnp.asarray(rng.integers(0, 625, size=(256, 4096)),
@@ -218,6 +259,12 @@ def main():
                 ts.append(time.time() - t0)
             extras[f"{prefix}optimizer_eval_s"] = round(
                 float(np.median(ts)), 3)
+            if warm is not None:
+                w = warm_eval(prefix, *warm, fwd, mb)
+                if w is not None:
+                    extras[f"{prefix}optimizer_eval_s_cpu_build"] = (
+                        extras[f"{prefix}optimizer_eval_s"])
+                    extras[f"{prefix}optimizer_eval_s"] = round(w, 3)
         except Exception as e:
             extras[f"{prefix}optimizer_eval_s"] = (
                 f"error: {type(e).__name__}: {e}"[:160])
@@ -318,6 +365,15 @@ def main():
         one_eval(1e-6 * (k + 1))
         evs.append(time.time() - t0)
     optimizer_eval_s = float(np.median(evs))
+    # steady-state after the mid-run builder switch (utils/cache.py): the
+    # optimize CLI starts on the CPU build (fast cold start) and swaps to
+    # the on-device build once it compiles, removing the per-eval
+    # host->device table transfer
+    w = warm_eval("", "plain", 3, 3, {**PLAIN, "N_AB": 0.000501}, fwd,
+                  mb_tokens)
+    if w is not None:
+        extras["optimizer_eval_s_1mb_cpu_build"] = round(optimizer_eval_s, 3)
+        optimizer_eval_s = w
 
     # realistic-data variant of the headline: tokens simulated from the
     # model with ~2% N bursts (real-MAF statistics); same compiled kernel
@@ -451,7 +507,8 @@ def main():
                         **{**INT, "t_A": INT["t_A"] + da},
                         n_int_AB=n_ab, n_int_ABC=n_abc, dtype="float64",
                         device=bdev_i),
-                jax.jit(decoders.forward_loglik_fast), ai, bfi, pii)
+                jax.jit(decoders.forward_loglik_fast), ai, bfi, pii,
+                warm=("int", n_ab, n_abc, INT))
             del ai, bfi, pii
             decode_suite(f"{tag}_", mi, shapes)
         except Exception as e:

@@ -92,10 +92,21 @@ class LoglikEngine:
         # per-eval model build: on the accelerator when one is present
         # (55 ms vs ~160 ms on the host CPU at 3x3, parity <= 7e-9; the
         # persistent cache amortizes the one-time TPU compile)
-        from itrails_tpu.utils.cache import build_device, enable_compilation_cache
+        from itrails_tpu.utils.cache import (
+            accel_builder_handle, build_device, enable_compilation_cache,
+        )
 
         enable_compilation_cache()
         bdev = build_device(n_int_AB, n_int_ABC)
+        # background-warm the accelerator builder (utils/cache.py): evals
+        # start on the CPU build immediately; once the accelerator build
+        # compiles and verifies, the hot loop below switches to it at an
+        # evaluation boundary, removing the per-eval host->device table
+        # transfer (measured 0.075 -> 0.043 s/eval at 3x3 on the tunneled
+        # v5e)
+        self._warm = accel_builder_handle(
+            "int" if introgression else "plain", n_int_AB, n_int_ABC, dtype
+        )
         if introgression:
             from itrails_tpu.introgression.builder import (
                 build_model_introgression_fn,
@@ -226,18 +237,21 @@ class LoglikEngine:
 
     def loglik(self, params: dict) -> float:
         if self.introgression:
-            a, b, pi, _, _ = self._builder(
+            args = (
                 params["t_A"], params["t_B"], params["t_C"], params["t_2"],
                 params["t_upper"], params["t_out"], params["t_m"],
                 params["N_AB"], params["N_BC"], params["N_ABC"],
                 params["r"], params["m"],
             )
         else:
-            a, b, pi, _, _ = self._builder(
+            args = (
                 params["t_A"], params["t_B"], params["t_C"], params["t_2"],
                 params["t_upper"], params["t_out"], params["N_AB"],
                 params["N_ABC"], params["r"],
             )
+        warm_fn = (self._warm.fn_if_ready(args)
+                   if self._warm is not None else None)
+        a, b, pi, _, _ = (warm_fn or self._builder)(*args)
         cast = jnp.dtype(self.dtype)
         bfull = decoders.emission_table(b.astype(cast), self._agg.astype(cast))
         return float(self._decode(a.astype(cast), bfull, pi.astype(cast)))
