@@ -409,6 +409,15 @@ def main():
             extras[f"{name}_mcols_range"] = rng_
             del dec_tokens
             if sim27 is not None:
+                if name == "posterior":
+                    # posterior is the LAST consumer of the uniform
+                    # buffers (keep it last in this tuple): free them
+                    # before the realistic rolls, or the full-batch
+                    # posterior streams (~12.9 GB) plus both token sets
+                    # crest HBM and the re-time measures allocator
+                    # thrash (one bench run recorded 266 vs 420 Mcol/s;
+                    # in isolation realistic == uniform to <1%)
+                    bufs.clear()
                 rbufs = _roll_variants(sim27[:wd], 4, jnp, dev, jax)
                 med_r, _ = time_rates(g, a, bfull, pi_, rbufs, wd, win_len)
                 extras[f"{name}_mcols_per_s_realistic"] = med_r

@@ -103,6 +103,20 @@ def decode_parser(description, usage=None, introgression=False):
                    help="Manual cutpoints for ABC intervals")
     p.add_argument("--precision", choices=["float32", "float64"],
                    default="float64")
+    if not introgression:
+        # 3-species "new method" observation mode: tokenize alignments of
+        # the THREE ingroup species over the 125-token alphabet and
+        # marginalize the emission matrix over the (absent) outgroup.
+        # Present-but-broken in the reference (read_data.py:120-143
+        # requires 4 species while tokenizing 3); here it is a working
+        # decode mode.
+        p.add_argument(
+            "--obs-mode", choices=["standard", "new-method"],
+            default="standard",
+            help="Observation alphabet: 'standard' (4-species, 625 "
+                 "tokens) or 'new-method' (3 species without an "
+                 "outgroup, 125 tokens; species_list must name exactly "
+                 "three species).")
     return p
 
 

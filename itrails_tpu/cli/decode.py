@@ -47,11 +47,12 @@ def decode_main(argv, description, usage, introgression, posterior):
                  "config file, command-line parameters, or both.")
     args = parser.parse_args(argv)
     config = common.merge_decode_overrides(args, introgression=introgression)
+    obs_mode = getattr(args, "obs_mode", "standard")
     setup, v_lst, coords, output_dir, output_prefix = load_inputs(
-        config, args, introgression=introgression
+        config, args, introgression=introgression, obs_mode=obs_mode
     )
     print("Calculating transition and emission probability matrices.")
-    model, a, bfull, pi = build(setup, args.precision)
+    model, a, bfull, pi = build(setup, args.precision, obs_mode=obs_mode)
     write_hidden_states(
         os.path.join(output_dir, f"{output_prefix}.hidden_states.csv"),
         model, setup, first_interval_from_ab=posterior,
@@ -72,12 +73,22 @@ def decode_main(argv, description, usage, introgression, posterior):
         )
 
 
-def load_inputs(config, args, introgression=False):
+def load_inputs(config, args, introgression=False, obs_mode="standard"):
     maf_path, user_output, output_dir, output_prefix = resolve_io(config, args)
     setup = prepare_decode_setup(config, introgression=introgression)
     setup["introgression"] = introgression
     species = setup["settings"]["species_list"]
-    v_lst = maf_tokens(maf_path, species)
+    if obs_mode == "new-method":
+        from itrails_tpu.data.maf import maf_tokens_new_method
+
+        if len(species) != 3:
+            raise ValueError(
+                "--obs-mode new-method requires species_list to name "
+                f"exactly three species (got {species})"
+            )
+        v_lst = maf_tokens_new_method(maf_path, species)
+    else:
+        v_lst = maf_tokens(maf_path, species)
     if not v_lst:
         raise ValueError("Error reading MAF alignment file.")
     ref = setup["settings"].get("reference")
@@ -87,7 +98,7 @@ def load_inputs(config, args, introgression=False):
     return setup, v_lst, coords, output_dir, output_prefix
 
 
-def build(setup, precision="float64"):
+def build(setup, precision="float64", obs_mode="standard"):
     d = setup["params"]
     if setup.get("introgression"):
         from itrails_tpu.introgression.builder import build_model_introgression
@@ -107,9 +118,18 @@ def build(setup, precision="float64"):
     cast = jnp.dtype(precision)
     a = model.a.astype(cast)
     pi = model.pi.astype(cast)
-    bfull = decoders.emission_table(
-        model.b.astype(cast), jnp.asarray(aggregation_matrix(), cast)
-    )
+    if obs_mode == "new-method":
+        # 125-column 3-species table, zero-padded to the standard 625
+        # width so the fused TPU kernels (fixed KP=640 one-hot) and the
+        # XLA scans share one shape; tokens only ever index 0..124
+        b3 = decoders.emission_table_new_method(model.b.astype(cast))
+        bfull = jnp.concatenate(
+            [b3, jnp.zeros((b3.shape[0], 625 - b3.shape[1]), cast)], axis=1
+        )
+    else:
+        bfull = decoders.emission_table(
+            model.b.astype(cast), jnp.asarray(aggregation_matrix(), cast)
+        )
     return model, a, bfull, pi
 
 

@@ -4,6 +4,9 @@ species while tokenizing 3, and its ambiguity resolver recurses into the
 4-species dictionary for multi-N tokens.  This rebuild implements the
 corrected semantics at library level; like the reference, no CLI uses it)."""
 
+import csv
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,3 +98,77 @@ def test_loglik_new_method_runs():
     ll_one = float(decoders.forward_loglik(jnp.asarray(a), bfull3,
                                            jnp.asarray(pi), tokens[:1]))
     np.testing.assert_allclose(ll_one, ll0, rtol=1e-10)
+
+
+def test_new_method_cli_decode(tmp_path):
+    """The decode CLIs run end-to-end in --obs-mode new-method (3 ingroup
+    species, 125-token alphabet) — the reference ships this mode broken
+    (read_data.py:120-143); here it is a working decode path.  Viterbi
+    paths must equal the library-level scan on the 3-species tokens, and
+    posterior rows must be valid distributions."""
+    import yaml
+
+    from itrails_tpu.cli.posterior import main as pmain
+    from itrails_tpu.cli.viterbi import main as vmain
+    from itrails_tpu.data.maf import maf_tokens_new_method
+    from tests.conftest import GOLDENS
+
+    maf = os.path.join(GOLDENS, "synthetic.maf")
+    species3 = ["hg38", "panTro5", "gorGor5"]
+    cfg = {
+        "fixed_parameters": {
+            "mu": 1e-8, "t_1": 240000, "t_2": 40000,
+            "t_upper": 745069.3855, "N_AB": 50000, "N_ABC": 50000,
+            "r": 1e-8,
+        },
+        "optimized_parameters": {},
+        "settings": {
+            "input_maf": maf, "output_prefix": None,
+            "species_list": species3, "n_int_AB": 1, "n_int_ABC": 2,
+        },
+    }
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    out = tmp_path / "nm" / "run"
+    vmain([str(cfg_path), "--output", str(out), "--obs-mode", "new-method"])
+    rows = list(csv.reader(open(tmp_path / "nm" / "run.viterbi.csv")))
+    assert rows[0] == ["Block_idx", "position_start", "position_end",
+                       "most_likely_state"]
+    assert len(rows) > 1
+
+    # library-level parity: same model, 3-species table, scan viterbi
+    from itrails_tpu.cli import decode as dec
+
+    # reuse the CLI's own config resolution for the exact mu-scaled params
+    from itrails_tpu.cli.common import prepare_decode_setup
+
+    setup = prepare_decode_setup(dict(cfg))
+    setup["introgression"] = False
+    model, a, bfull, pi = dec.build(setup, "float64",
+                                    obs_mode="new-method")
+    assert bfull.shape[1] == 625 and float(bfull[:, 125:].sum()) == 0.0
+    v_lst = maf_tokens_new_method(maf, species3)
+    assert v_lst
+    paths = {}
+    for bi, v in enumerate(v_lst):
+        tok = jnp.asarray(np.asarray(v)[None, :], jnp.int32)
+        paths[bi] = np.asarray(decoders.viterbi(a, bfull, pi, tok))[0]
+    segs = {}
+    for r in rows[1:]:
+        bi, s, e, st = int(r[0]), int(r[1]), int(r[2]), int(r[3])
+        segs.setdefault(bi, []).append((s, e, st))
+    for bi, seglist in segs.items():
+        for s, e, st in seglist:
+            assert np.all(paths[bi][s:e + 1] == st), (bi, s, e, st)
+
+    out2 = tmp_path / "nm" / "post"
+    pmain([str(cfg_path), "--output", str(out2), "--obs-mode",
+           "new-method"])
+    with open(tmp_path / "nm" / "post.posterior.csv") as f:
+        prows = list(csv.reader(f))
+    n_states = len(prows[0]) - 2
+    assert n_states == model.a.shape[0]
+    probs = np.asarray([[float(x) for x in r[2:]] for r in prows[1:50]])
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-6)
