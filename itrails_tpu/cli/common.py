@@ -112,11 +112,12 @@ def decode_parser(description, usage=None, introgression=False):
         # decode mode.
         p.add_argument(
             "--obs-mode", choices=["standard", "new-method"],
-            default="standard",
+            default=None,
             help="Observation alphabet: 'standard' (4-species, 625 "
-                 "tokens) or 'new-method' (3 species without an "
-                 "outgroup, 125 tokens; species_list must name exactly "
-                 "three species).")
+                 "tokens; the default) or 'new-method' (3 species "
+                 "without an outgroup, 125 tokens; species_list must "
+                 "name exactly three species).  May also be set as "
+                 "settings.obs_mode in the config; the flag wins.")
     return p
 
 

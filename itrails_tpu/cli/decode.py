@@ -47,7 +47,13 @@ def decode_main(argv, description, usage, introgression, posterior):
                  "config file, command-line parameters, or both.")
     args = parser.parse_args(argv)
     config = common.merge_decode_overrides(args, introgression=introgression)
-    obs_mode = getattr(args, "obs_mode", "standard")
+    # CLI flag > settings.obs_mode > standard (int CLIs have neither)
+    obs_mode = (getattr(args, "obs_mode", None)
+                or config.get("settings", {}).get("obs_mode")
+                or "standard")
+    if obs_mode not in ("standard", "new-method"):
+        raise ValueError(f"settings.obs_mode must be 'standard' or "
+                         f"'new-method' (got {obs_mode!r})")
     setup, v_lst, coords, output_dir, output_prefix = load_inputs(
         config, args, introgression=introgression, obs_mode=obs_mode
     )

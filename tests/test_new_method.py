@@ -172,3 +172,37 @@ def test_new_method_cli_decode(tmp_path):
     assert n_states == model.a.shape[0]
     probs = np.asarray([[float(x) for x in r[2:]] for r in prows[1:50]])
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-6)
+
+
+def test_new_method_config_setting(tmp_path):
+    """settings.obs_mode in the config selects the mode without the flag,
+    and the flag wins over the setting."""
+    import yaml
+
+    from itrails_tpu.cli.viterbi import main as vmain
+    from tests.conftest import GOLDENS
+
+    maf = os.path.join(GOLDENS, "synthetic.maf")
+    cfg = {
+        "fixed_parameters": {
+            "mu": 1e-8, "t_1": 240000, "t_2": 40000,
+            "t_upper": 745069.3855, "N_AB": 50000, "N_ABC": 50000,
+            "r": 1e-8,
+        },
+        "optimized_parameters": {},
+        "settings": {
+            "input_maf": maf, "output_prefix": None,
+            "species_list": ["hg38", "panTro5", "gorGor5"],
+            "n_int_AB": 1, "n_int_ABC": 2, "obs_mode": "new-method",
+        },
+    }
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out_a = tmp_path / "a" / "run"
+    vmain([str(cfg_path), "--output", str(out_a)])
+    out_b = tmp_path / "b" / "run"
+    vmain([str(cfg_path), "--output", str(out_b), "--obs-mode",
+           "new-method"])
+    assert (open(tmp_path / "a" / "run.viterbi.csv").read()
+            == open(tmp_path / "b" / "run.viterbi.csv").read())

@@ -1,6 +1,17 @@
 """Round-3 experiment: M=133 forward throughput — multihot emission vs
 onehot, on the real TPU.  Prints Mcol/s per variant and loglik deviation
-vs the f64 scan decoder."""
+vs the f64 scan decoder.
+
+NEGATIVE RESULT (re-measured round 5): multihot loses decisively despite
+its 2.5x MXU-FLOP saving (the one-hot emission matmul is ~76% of the
+kernel's MXU work at M=133) — the kernels are instruction-ISSUE bound,
+and the in-register multi-hot construction costs more VPU issue slots
+than the larger one-hot matmul costs MXU time.  Measured (v5e, default
+trans="highest"): M=133 onehot p2 173.4 vs multihot p2 85.9 Mcol/s;
+M=27 onehot p2 665.7 vs multihot 121.5.  Production stays on onehot
+(with trans="split3": 213 Mcol/s at M=133).  Together with the round-4/5
+experiment set this closes the emission-lookup avenue.
+"""
 
 import functools
 import time
