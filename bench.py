@@ -208,7 +208,11 @@ def main():
                 return None
             names = list(base_params)
             h.kick(tuple(base_params.values()))
-            if not h.wait(180.0):
+            # cold-XLA-cache machines (the driver's) pay the full remote
+            # compile here: measured 199 s (plain 3x3) / 356 s (int 3x3)
+            # on v5e; warm-cache machines return in ~25-36 s.  The wait is
+            # untimed — nothing else runs, so no measurement is perturbed.
+            if not h.wait(420.0):
                 extras[f"{prefix}accel_builder"] = (
                     f"{h.state}: {h.detail}"[:160])
                 return None
