@@ -116,7 +116,19 @@ def main():
             ["--output", p_chain])
         for path in (f"{p_chain}.viterbi.csv", f"{p_chain}.posterior.csv"):
             assert os.path.exists(path), path
-    print(f"ALL SIX CLIs OK, chained best-model decode OK ({work})")
+        if not intro:
+            # 3-species "new method" decode mode (plain family only)
+            p_nm = os.path.join(out, "nm")
+            c = cfg(work, maf, p_nm, optimize=False, intro=False)
+            c["settings"]["species_list"] = ["sp1", "sp2", "sp3"]
+            cp = os.path.join(work, "cfg_dec_nm.yaml")
+            yaml.safe_dump(c, open(cp, "w"))
+            run("itrails_tpu.cli.viterbi", cp,
+                ["--obs-mode", "new-method"])
+            rows = list(csv.reader(open(f"{p_nm}.viterbi.csv")))
+            assert len(rows) > 1
+    print(f"ALL SIX CLIs OK, chained best-model decode OK, "
+          f"new-method decode OK ({work})")
 
 
 if __name__ == "__main__":
