@@ -206,3 +206,30 @@ def test_new_method_config_setting(tmp_path):
            "new-method"])
     assert (open(tmp_path / "a" / "run.viterbi.csv").read()
             == open(tmp_path / "b" / "run.viterbi.csv").read())
+
+
+def test_new_method_long_block_paths():
+    """The sequence-parallel long-block decoders accept the padded
+    3-species table: viterbi_long must equal the scan Viterbi and
+    posterior_long the scan posterior on new-method tokens (the decode
+    CLIs route blocks > LONG_BLOCK_THRESHOLD through these)."""
+    from itrails_tpu.hmm.longseq import posterior_long, viterbi_long
+
+    rng = np.random.default_rng(2)
+    m = 9
+    a = rng.random((m, m)); a /= a.sum(1, keepdims=True)
+    b = rng.random((m, 256)); b /= b.sum(1, keepdims=True)
+    pi = rng.random(m); pi /= pi.sum()
+    b3 = decoders.emission_table_new_method(jnp.asarray(b))
+    bfull = jnp.concatenate(
+        [b3, jnp.zeros((m, 500), b3.dtype)], axis=1)
+    tok = jnp.asarray(rng.integers(0, 125, size=18432), jnp.int32)
+    a_, pi_ = jnp.asarray(a), jnp.asarray(pi)
+
+    path_long = np.asarray(viterbi_long(a_, bfull, pi_, tok))
+    path_scan = np.asarray(decoders.viterbi(a_, bfull, pi_, tok[None]))[0]
+    np.testing.assert_array_equal(path_long, path_scan)
+
+    post_long = np.asarray(posterior_long(a_, bfull, pi_, tok))
+    post_scan = np.asarray(decoders.posterior(a_, bfull, pi_, tok[None]))[:, 0]
+    np.testing.assert_allclose(post_long, post_scan, atol=1e-8)
