@@ -197,8 +197,15 @@ class _BuilderWarmer:
                     self.state = "rejected"
                     self.detail = f"parity mismatch vs CPU build ({name})"
                     return
+                if not fin.any():
+                    # an all-non-finite verify point (e.g. a bound-corner
+                    # start) would make the comparison vacuous — refuse
+                    # rather than accept on no evidence
+                    self.state = "rejected"
+                    self.detail = f"non-finite verify point ({name})"
+                    return
                 rf, of = r[fin], o[fin]
-                scale = float(np.max(np.abs(rf))) if rf.size else 0.0
+                scale = float(np.max(np.abs(rf)))
                 if not np.allclose(of, rf, rtol=1e-5, atol=1e-7 * scale):
                     self.state = "rejected"
                     self.detail = f"parity mismatch vs CPU build ({name})"

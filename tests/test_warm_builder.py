@@ -113,3 +113,14 @@ def test_engine_switch_preserves_loglik(monkeypatch):
     assert eng._warm.wait(120.0), eng._warm.detail
     ll_warm = eng.loglik(params)  # served by the switched builder
     np.testing.assert_allclose(ll_warm, ll_cpu, rtol=1e-12)
+
+
+def test_warmer_rejects_nonfinite_verify_point(monkeypatch):
+    """A bound-corner start that builds to non-finite values must refuse
+    the switch (the parity comparison would otherwise be vacuous)."""
+    w = _cpu_only_warmer(monkeypatch)
+    bad_args = (1e3, 1e3, 1e3, 1e3, 1e3, 2e3, 1e-30, 1e-30, 1e3)
+    w.kick(bad_args)
+    assert not w.wait(120.0)
+    assert w.state in ("rejected", "failed"), w.detail
+    assert w.fn_if_ready(bad_args) is None
