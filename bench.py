@@ -211,10 +211,16 @@ def main():
             # cold-XLA-cache machines (the driver's) pay the full remote
             # compile here: measured 199 s (plain 3x3) / 356 s (int 3x3)
             # on v5e; warm-cache machines return in ~25-36 s.  The wait is
-            # untimed — nothing else runs, so no measurement is perturbed.
-            if not h.wait(420.0):
-                extras[f"{prefix}accel_builder"] = (
-                    f"{h.state}: {h.detail}"[:160])
+            # untimed AND doubles as a contention barrier: returning while
+            # the daemon thread still compiles would let it contend with
+            # every later timed section, so the cap is generous (a compile
+            # still running past it is annotated so the skew is visible).
+            if not h.wait(900.0):
+                note = f"{h.state}: {h.detail}"[:160]
+                if h.state == "compiling":
+                    note = ("compiling past 900 s wait; later sections "
+                            "may contend with the background compile")
+                extras[f"{prefix}accel_builder"] = note
                 return None
             extras[f"{prefix}accel_builder"] = h.detail
             extras[f"{prefix}accel_builder_warm_s"] = round(

@@ -47,13 +47,21 @@ def decode_main(argv, description, usage, introgression, posterior):
                  "config file, command-line parameters, or both.")
     args = parser.parse_args(argv)
     config = common.merge_decode_overrides(args, introgression=introgression)
-    # CLI flag > settings.obs_mode > standard (int CLIs have neither)
+    # CLI flag > settings.obs_mode > standard (the int CLIs expose no
+    # flag, but settings.obs_mode is read for every decode CLI, so the
+    # introgression family must reject it explicitly: marginalizing the
+    # int emission table over the outgroup is an unvalidated combination)
     obs_mode = (getattr(args, "obs_mode", None)
                 or config.get("settings", {}).get("obs_mode")
                 or "standard")
     if obs_mode not in ("standard", "new-method"):
         raise ValueError(f"settings.obs_mode must be 'standard' or "
                          f"'new-method' (got {obs_mode!r})")
+    if introgression and obs_mode != "standard":
+        raise ValueError(
+            "obs_mode 'new-method' is not supported by the introgression "
+            "decode workflows (plain family only)"
+        )
     setup, v_lst, coords, output_dir, output_prefix = load_inputs(
         config, args, introgression=introgression, obs_mode=obs_mode
     )
@@ -125,12 +133,8 @@ def build(setup, precision="float64", obs_mode="standard"):
     a = model.a.astype(cast)
     pi = model.pi.astype(cast)
     if obs_mode == "new-method":
-        # 125-column 3-species table, zero-padded to the standard 625
-        # width so the fused TPU kernels (fixed KP=640 one-hot) and the
-        # XLA scans share one shape; tokens only ever index 0..124
-        b3 = decoders.emission_table_new_method(model.b.astype(cast))
-        bfull = jnp.concatenate(
-            [b3, jnp.zeros((b3.shape[0], 625 - b3.shape[1]), cast)], axis=1
+        bfull = decoders.emission_table_new_method(
+            model.b.astype(cast), pad_to=625
         )
     else:
         bfull = decoders.emission_table(

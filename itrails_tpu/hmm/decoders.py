@@ -44,20 +44,27 @@ def emission_table(b, agg):
     return b @ jnp.asarray(agg, b.dtype).T
 
 
-def emission_table_new_method(b):
+def emission_table_new_method(b, pad_to: int | None = None):
     """(M, 125) emission table over the 3-species ("new method") alphabet:
     the (M, 256) four-species emission matrix marginalized over the
     outgroup nucleotide, then ambiguity-resolved (reference
-    read_data.py:27-43 + optimizer.py:68-91 — present but not reachable
-    from any reference CLI; exposed at library level here likewise).
+    read_data.py:27-43 + optimizer.py:68-91 — present but broken there;
+    a working decode path here via the CLIs' ``--obs-mode new-method``).
     Every decoder in this module accepts it directly with
-    maf.maf_tokens_new_method tokens; for the fused TPU kernels zero-pad
-    the columns to 625."""
+    maf.maf_tokens_new_method tokens.  ``pad_to=625`` zero-pads the
+    columns to the standard table width so the fused TPU kernels (fixed
+    KP=640 one-hot) and the XLA scans share one shape — tokens only ever
+    index 0..124, and PAD_TOKEN handling never reads the table."""
     from itrails_tpu.data.tokens import aggregation_matrix_3
 
     m = b.shape[0]
     b3 = b.reshape(m, 64, 4).sum(-1)
-    return b3 @ jnp.asarray(aggregation_matrix_3(), b.dtype).T
+    out = b3 @ jnp.asarray(aggregation_matrix_3(), b.dtype).T
+    if pad_to is not None and pad_to > out.shape[1]:
+        out = jnp.concatenate(
+            [out, jnp.zeros((m, pad_to - out.shape[1]), out.dtype)], axis=1
+        )
+    return out
 
 
 def _gather_emis(bfull, tokens):

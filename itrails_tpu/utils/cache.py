@@ -122,10 +122,22 @@ class _BuilderWarmer:
     kicks the background compile on first call (using ``args`` as the
     representative parameter point) and returns the accelerator builder
     once verified, else None.  States: idle -> compiling -> ready |
-    rejected | failed.
+    rejected | failed.  TRANSIENT outcomes (an exception, a non-finite
+    verify point, a lost timing race) are retried on a later evaluation
+    point, up to ``MAX_ATTEMPTS``; a parity mismatch is deterministic
+    evidence and stays rejected.
+
+    The warm thread is a daemon deliberately: a non-daemon thread would
+    block process exit for the full remote compile (25-356 s) on every
+    short optimize run.  CPython freezes daemon threads at finalization
+    only when they next acquire the GIL — an in-flight XLA/tunnel
+    compile completes its native call first, and the six-CLI smoke
+    (tools/smoke_cli.py, --maxiter 2 optimize with the thread mid-
+    compile at exit) exits cleanly on the real TPU.
     """
 
     SLOWDOWN_LIMIT = 2.0  # reject if accel build > LIMIT x CPU build
+    MAX_ATTEMPTS = 3  # total warm attempts for transient outcomes
 
     def __init__(self, family: str, n_int_AB: int, n_int_ABC: int,
                  dtype_name: str):
@@ -137,6 +149,8 @@ class _BuilderWarmer:
         self.fn = None
         self.detail = ""
         self.warm_seconds = None
+        self.transient = False  # last settle retryable?
+        self.attempts = 0
         import threading
 
         self._lock = threading.Lock()
@@ -168,7 +182,10 @@ class _BuilderWarmer:
             # does not wait, so every timed call uses a fresh parameter
             # point and fetches a value
             args2 = list(args)
-            args2[0] = args2[0] * (1.0 + 1e-9)
+            # additive + multiplicative: multiplicative alone is a no-op
+            # at t_A == 0, which would re-enable memoization of the timed
+            # call
+            args2[0] = args2[0] * (1.0 + 1e-9) + 1e-13
             cpu_fn = self._make_fn("cpu")
             accel_fn = self._make_fn(None)  # default device = accelerator
             ref = [np.asarray(x) for x in cpu_fn(*args)]  # compile + parity ref
@@ -179,7 +196,7 @@ class _BuilderWarmer:
             out = [np.asarray(x) for x in accel_fn(*args)]  # compile + run
             self.warm_seconds = time.perf_counter() - t0
             args3 = list(args)
-            args3[0] = args3[0] * (1.0 + 2e-9)
+            args3[0] = args3[0] * (1.0 + 2e-9) + 2e-13
             t0 = time.perf_counter()
             np.asarray(accel_fn(*args3)[0])
             t_accel = time.perf_counter() - t0
@@ -200,9 +217,11 @@ class _BuilderWarmer:
                 if not fin.any():
                     # an all-non-finite verify point (e.g. a bound-corner
                     # start) would make the comparison vacuous — refuse
-                    # rather than accept on no evidence
+                    # rather than accept on no evidence; a later eval
+                    # point retries (transient)
                     self.state = "rejected"
                     self.detail = f"non-finite verify point ({name})"
+                    self.transient = True
                     return
                 rf, of = r[fin], o[fin]
                 scale = float(np.max(np.abs(rf)))
@@ -211,11 +230,14 @@ class _BuilderWarmer:
                     self.detail = f"parity mismatch vs CPU build ({name})"
                     return
             if t_accel > self.SLOWDOWN_LIMIT * max(t_cpu, 1e-3):
+                # single timing samples can lose to host contention (the
+                # optimizer hot loop shares the CPU) — retryable
                 self.state = "rejected"
                 self.detail = (
                     f"accel build {t_accel * 1e3:.0f} ms > "
                     f"{self.SLOWDOWN_LIMIT}x CPU {t_cpu * 1e3:.0f} ms"
                 )
+                self.transient = True
                 return
             self.fn = accel_fn
             self.state = "ready"
@@ -225,6 +247,7 @@ class _BuilderWarmer:
         except Exception as e:  # warming is an optimization, never fatal
             self.state = "failed"
             self.detail = f"{type(e).__name__}: {e}"[:200]
+            self.transient = True
         finally:
             self._done.set()
 
@@ -235,6 +258,7 @@ class _BuilderWarmer:
             if self.state != "idle":
                 return
             self.state = "compiling"
+            self.attempts += 1
         threading.Thread(
             target=self._warm, args=(tuple(args),), daemon=True,
             name=f"itrails-warm-{self.family}-{self.n_int_AB}x"
@@ -247,6 +271,13 @@ class _BuilderWarmer:
         return self.state == "ready"
 
     def fn_if_ready(self, args):
+        if (self.state in ("rejected", "failed") and self.transient
+                and self.attempts < self.MAX_ATTEMPTS):
+            with self._lock:
+                if self.state in ("rejected", "failed"):
+                    self.state = "idle"
+                    self.transient = False
+                    self._done.clear()
         if self.state == "idle":
             self.kick(args)
         return self.fn if self.state == "ready" else None

@@ -2,7 +2,8 @@
 70-91, 120-143 — present but non-functional there: its parser requires 4
 species while tokenizing 3, and its ambiguity resolver recurses into the
 4-species dictionary for multi-N tokens.  This rebuild implements the
-corrected semantics at library level; like the reference, no CLI uses it)."""
+corrected semantics at library level AND as a working decode-CLI path
+(--obs-mode new-method / settings.obs_mode, round 5)."""
 
 import csv
 import os
@@ -220,9 +221,7 @@ def test_new_method_long_block_paths():
     a = rng.random((m, m)); a /= a.sum(1, keepdims=True)
     b = rng.random((m, 256)); b /= b.sum(1, keepdims=True)
     pi = rng.random(m); pi /= pi.sum()
-    b3 = decoders.emission_table_new_method(jnp.asarray(b))
-    bfull = jnp.concatenate(
-        [b3, jnp.zeros((m, 500), b3.dtype)], axis=1)
+    bfull = decoders.emission_table_new_method(jnp.asarray(b), pad_to=625)
     tok = jnp.asarray(rng.integers(0, 125, size=18432), jnp.int32)
     a_, pi_ = jnp.asarray(a), jnp.asarray(pi)
 
@@ -233,3 +232,33 @@ def test_new_method_long_block_paths():
     post_long = np.asarray(posterior_long(a_, bfull, pi_, tok))
     post_scan = np.asarray(decoders.posterior(a_, bfull, pi_, tok[None]))[:, 0]
     np.testing.assert_allclose(post_long, post_scan, atol=1e-8)
+
+
+def test_new_method_rejected_for_introgression(tmp_path):
+    """settings.obs_mode: new-method must be rejected by the int decode
+    CLIs (outgroup-marginalizing the int emission table is unvalidated)."""
+    import pytest
+    import yaml
+
+    from itrails_tpu.cli.int_viterbi import main as ivmain
+    from tests.conftest import GOLDENS
+
+    cfg = {
+        "fixed_parameters": {
+            "mu": 1e-8, "t_1": 240000, "t_2": 40000, "t_m": 120000,
+            "t_upper": 745069.3855, "N_AB": 50000, "N_BC": 40000,
+            "N_ABC": 50000, "r": 1e-8, "m": 0.1,
+        },
+        "optimized_parameters": {},
+        "settings": {
+            "input_maf": os.path.join(GOLDENS, "synthetic.maf"),
+            "output_prefix": None,
+            "species_list": ["hg38", "panTro5", "gorGor5"],
+            "n_int_AB": 1, "n_int_ABC": 1, "obs_mode": "new-method",
+        },
+    }
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    with pytest.raises(ValueError, match="introgression"):
+        ivmain([str(cfg_path), "--output", str(tmp_path / "x" / "run")])

@@ -124,3 +124,27 @@ def test_warmer_rejects_nonfinite_verify_point(monkeypatch):
     assert not w.wait(120.0)
     assert w.state in ("rejected", "failed"), w.detail
     assert w.fn_if_ready(bad_args) is None
+
+
+def test_warmer_retries_transient_failure(monkeypatch):
+    """A transient compile failure must retry on a later call (up to
+    MAX_ATTEMPTS) and succeed; a parity mismatch stays rejected."""
+    calls = {"n": 0}
+
+    def flaky(fn):
+        def f(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient tunnel flake")
+            return fn(*a, **k)
+
+        return f
+
+    w = _cpu_only_warmer(monkeypatch, accel_wrap=flaky)
+    w.kick(PLAIN_ARGS)
+    assert not w.wait(120.0)
+    assert w.state == "failed" and w.transient
+    assert w.fn_if_ready(PLAIN_ARGS) is None  # triggers the retry
+    assert w.wait(120.0), w.detail  # second attempt succeeds
+    assert w.fn_if_ready(PLAIN_ARGS) is not None
+    assert w.attempts == 2
