@@ -207,7 +207,8 @@ def main():
             if h is None:
                 return None
             names = list(base_params)
-            h.kick(tuple(base_params.values()))
+            base_args = tuple(base_params.values())
+            h.kick(base_args)
             # cold-XLA-cache machines (the driver's) pay the full remote
             # compile here: measured 199 s (plain 3x3) / 356 s (int 3x3)
             # on v5e; warm-cache machines return in ~25-36 s.  The wait is
@@ -215,7 +216,14 @@ def main():
             # the daemon thread still compiles would let it contend with
             # every later timed section, so the cap is generous (a compile
             # still running past it is annotated so the skew is visible).
-            if not h.wait(900.0):
+            # Transient settles (a lost timing race: one run sampled the
+            # int accel build at 76 ms vs its usual 49) retry like the
+            # optimize hot loop does.
+            while not h.wait(900.0):
+                if (h.state in ("rejected", "failed") and h.transient
+                        and h.attempts < h.MAX_ATTEMPTS):
+                    h.fn_if_ready(base_args)  # resets + re-kicks
+                    continue
                 note = f"{h.state}: {h.detail}"[:160]
                 if h.state == "compiling":
                     note = ("compiling past 900 s wait; later sections "
