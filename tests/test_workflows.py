@@ -259,3 +259,31 @@ def test_optimize_cli_default_is_exact_grad(tmp_path, capsys):
     hist = list(csv.reader(open(tmp_path / "run" /
                                 "test.optimization_history.csv")))
     assert len(hist) >= 3
+
+
+def test_decode_cli_precision_float32(tmp_path):
+    """--precision float32 runs the decode CLIs end-to-end; on this easy
+    synthetic data the f32 Viterbi path must equal the f64 one and the
+    f32 posterior rows must be distributions at f32 tolerance."""
+    import yaml
+
+    from itrails_tpu.cli.posterior import main as pmain
+    from itrails_tpu.cli.viterbi import main as vmain
+
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(_decode_config(), f)
+    out64 = tmp_path / "p64" / "run"
+    out32 = tmp_path / "p32" / "run"
+    vmain([str(cfg_path), "--output", str(out64)])
+    vmain([str(cfg_path), "--output", str(out32), "--precision",
+           "float32"])
+    assert (open(tmp_path / "p64" / "run.viterbi.csv").read()
+            == open(tmp_path / "p32" / "run.viterbi.csv").read())
+
+    pout = tmp_path / "p32" / "post"
+    pmain([str(cfg_path), "--output", str(pout), "--precision",
+           "float32"])
+    rows = list(csv.reader(open(tmp_path / "p32" / "post.posterior.csv")))
+    probs = np.asarray([[float(x) for x in r[2:]] for r in rows[1:200]])
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)
