@@ -262,3 +262,48 @@ def test_new_method_rejected_for_introgression(tmp_path):
         yaml.dump(cfg, f)
     with pytest.raises(ValueError, match="introgression"):
         ivmain([str(cfg_path), "--output", str(tmp_path / "x" / "run")])
+
+
+def test_new_method_with_reference_coordinates(tmp_path):
+    """new-method decode with a reference species projects segment
+    coordinates onto that species' genome: the block filters of
+    maf_tokens_new_method and maf_reference_coordinates must select the
+    SAME blocks so tokens and coordinates stay aligned."""
+    import yaml
+
+    from itrails_tpu.cli.viterbi import main as vmain
+    from itrails_tpu.data.maf import (
+        maf_reference_coordinates, maf_tokens_new_method,
+    )
+    from tests.conftest import GOLDENS
+
+    maf = os.path.join(GOLDENS, "synthetic.maf")
+    species3 = ["hg38", "panTro5", "gorGor5"]
+    toks = maf_tokens_new_method(maf, species3)
+    coords = maf_reference_coordinates(maf, species3, "hg38")
+    assert len(toks) == len(coords)
+    for t, c in zip(toks, coords):
+        assert len(t) == len(c)
+
+    cfg = {
+        "fixed_parameters": {
+            "mu": 1e-8, "t_1": 240000, "t_2": 40000,
+            "t_upper": 745069.3855, "N_AB": 50000, "N_ABC": 50000,
+            "r": 1e-8,
+        },
+        "optimized_parameters": {},
+        "settings": {
+            "input_maf": maf, "output_prefix": None,
+            "species_list": species3, "reference": "hg38",
+            "n_int_AB": 1, "n_int_ABC": 1, "obs_mode": "new-method",
+        },
+    }
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out = tmp_path / "r" / "run"
+    vmain([str(cfg_path), "--output", str(out)])
+    vit = list(csv.reader(open(tmp_path / "r" / "run.viterbi.csv")))
+    assert len(vit) > 1
+    starts = [int(float(r[1])) for r in vit[1:] if r[0] == "0"]
+    assert starts and min(starts) >= 1000  # hg38 block 1 starts at 1000
